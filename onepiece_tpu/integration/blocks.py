@@ -1,0 +1,186 @@
+"""Voxel-block TSDF volume: fixed device pool + host hash table.
+
+TPU redesign of `integration::CubeHandler` (ref:
+src/Integration/CubeHandler.{h,cpp}). The reference stores cubes in an
+`unordered_map<CubeID, VoxelCube>`; dynamic hash maps don't exist on device,
+so the rebuild splits responsibilities:
+
+  - DEVICE: a fixed-capacity pool of B blocks — SoA arrays
+    sdf (B, 8,8,8), weight (B, 8,8,8), color (B, 8,8,8,3) — integrated /
+    meshed in bulk launches (ops/tsdf.py, ops/marching_cubes.py).
+  - HOST: a {(bx,by,bz) -> slot} dict and a free list; per-frame block
+    allocation (ref `PrepareCubes`, CubeHandler.cpp:147-196) reads the
+    device-computed touched-coordinate list once per frame.
+
+Capacity is bucketed: when the pool fills, arrays are grown by 2x (one
+recompile per doubling, amortised silent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import PinholeCamera
+from ..ops import marching_cubes as mc_ops
+from ..ops import tsdf as tsdf_ops
+from ..ops.tsdf import CUBE_SIZE
+
+# defaults matching the reference (voxel resolution 0.0125 m, truncation 0.1 m
+# — ref: src/Integration/CubeHandler.h:15 and Integrator truncation default)
+DEFAULT_VOXEL_SIZE = 0.0125
+DEFAULT_TRUNCATION = 0.1
+
+
+@dataclasses.dataclass
+class TSDFVolume:
+    voxel_size: float = DEFAULT_VOXEL_SIZE
+    truncation: float = DEFAULT_TRUNCATION
+    capacity: int = 4096
+    max_weight: float = 100.0
+
+    def __post_init__(self):
+        c = self.capacity
+        n = CUBE_SIZE
+        self.sdf = jnp.full((c, n, n, n), tsdf_ops.EMPTY_SDF, jnp.float32)
+        self.weight = jnp.zeros((c, n, n, n), jnp.float32)
+        self.color = jnp.zeros((c, n, n, n, 3), jnp.float32)
+        self.block_coords = np.zeros((c, 3), np.int64)
+        self.slot_of: dict[tuple[int, int, int], int] = {}
+        self.num_active = 0
+
+    # -- host bookkeeping -------------------------------------------------
+
+    def _grow(self, needed: int) -> None:
+        while self.capacity < needed:
+            self.capacity *= 2
+        n = CUBE_SIZE
+        c = self.capacity
+
+        def grow(arr, fill):
+            out = jnp.full((c,) + arr.shape[1:], fill, arr.dtype)
+            return out.at[: arr.shape[0]].set(arr)
+
+        self.sdf = grow(self.sdf, tsdf_ops.EMPTY_SDF)
+        self.weight = grow(self.weight, 0.0)
+        self.color = grow(self.color, 0.0)
+        bc = np.zeros((c, 3), np.int64)
+        bc[: len(self.block_coords)] = self.block_coords
+        self.block_coords = bc
+
+    def allocate(self, coords: np.ndarray) -> None:
+        """Ensure blocks exist for the given (N, 3) integer block coords."""
+        new = [t for t in map(tuple, coords.astype(np.int64)) if t not in self.slot_of]
+        # dict preserves insertion order; dedupe
+        new = list(dict.fromkeys(new))
+        if not new:
+            return
+        if self.num_active + len(new) > self.capacity:
+            self._grow(self.num_active + len(new))
+        for t in new:
+            slot = self.num_active
+            self.slot_of[t] = slot
+            self.block_coords[slot] = t
+            self.num_active += 1
+
+    def active_coords(self) -> np.ndarray:
+        return self.block_coords[: self.num_active]
+
+    # -- per-frame integration -------------------------------------------
+
+    def integrate(
+        self,
+        depth: jax.Array,
+        rgb: jax.Array | None,
+        T_wc: jax.Array,
+        camera: PinholeCamera,
+    ) -> int:
+        """Allocate touched blocks and fuse one posed RGB-D frame.
+
+        (ref: CubeHandler::IntegrateImage, CubeHandler.cpp:197-210.)
+        Returns the number of active blocks after allocation.
+        """
+        T_wc = jnp.asarray(T_wc, jnp.float32)
+        coords, valid = tsdf_ops.touched_block_coords(
+            depth, T_wc, camera.fx, camera.fy, camera.cx, camera.cy,
+            self.voxel_size, self.truncation,
+        )
+        coords_np = np.asarray(coords)[np.asarray(valid)]
+        self.allocate(np.unique(coords_np, axis=0))
+
+        if rgb is None:
+            rgb = jnp.zeros(depth.shape + (3,), jnp.float32)
+        T_cw = jnp.linalg.inv(T_wc)
+        c = self.capacity
+        active = jnp.arange(c) < self.num_active
+        bc = jnp.asarray(self.block_coords, jnp.int32)
+        sdf_f = self.sdf.reshape(c, -1)
+        w_f = self.weight.reshape(c, -1)
+        col_f = self.color.reshape(c, -1, 3)
+        sdf_n, w_n, col_n = tsdf_ops.integrate_blocks(
+            sdf_f, w_f, col_f, bc, active, depth, rgb, T_cw,
+            camera.fx, camera.fy, camera.cx, camera.cy,
+            self.voxel_size, self.truncation, self.max_weight,
+        )
+        n = CUBE_SIZE
+        self.sdf = sdf_n.reshape(c, n, n, n)
+        self.weight = w_n.reshape(c, n, n, n)
+        self.color = col_n.reshape(c, n, n, n, 3)
+        return self.num_active
+
+    # -- meshing ----------------------------------------------------------
+
+    def _neighbor_slots(self) -> np.ndarray:
+        """(num_active, 7) pool slots of each active block's +halo neighbours."""
+        na = self.num_active
+        out = np.full((na, 7), -1, np.int64)
+        for i in range(na):
+            base = self.block_coords[i]
+            for j, off in enumerate(mc_ops.NEIGHBOR_OFFSETS):
+                out[i, j] = self.slot_of.get(tuple(base + off), -1)
+        return out
+
+    def extract_mesh(self, chunk: int = 128):
+        """Marching cubes over all active blocks -> host (verts, colors) arrays.
+
+        Returns (vertices (T, 3, 3) float32, colors (T, 3, 3) float32) of
+        valid triangles, compacted on host. (ref: ExtractTriangleMesh,
+        CubeHandler.cpp:9-44.)
+        """
+        nbr = self._neighbor_slots()
+        verts_out, cols_out = [], []
+        na = self.num_active
+        for start in range(0, na, chunk):
+            end = min(start + chunk, na)
+            pad = chunk - (end - start)
+            sl = slice(start, end)
+            idx = np.arange(start, end)
+            idx_p = np.pad(idx, (0, pad), constant_values=0)
+            nbr_c = jnp.asarray(np.pad(nbr[sl], ((0, pad), (0, 0)), constant_values=-1))
+            sdf_c = self.sdf[idx_p]
+            w_c = self.weight[idx_p]
+            col_c = self.color[idx_p]
+            nbr_sdf = mc_ops.gather_neighbors(self.sdf, nbr_c, tsdf_ops.EMPTY_SDF)
+            nbr_w = mc_ops.gather_neighbors(self.weight, nbr_c, 0.0)
+            nbr_col = jnp.stack(
+                [mc_ops.gather_neighbors(self.color[..., i], nbr_c, 0.0) for i in range(3)],
+                axis=-1,
+            )
+            bc = jnp.asarray(np.pad(self.block_coords[sl], ((0, pad), (0, 0))), jnp.int32)
+            tv, tc, valid = mc_ops.extract_block_triangles(
+                sdf_c, w_c, col_c, nbr_sdf, nbr_w, nbr_col, bc,
+                self.voxel_size,
+            )
+            valid_np = np.array(valid)
+            if pad:
+                valid_np[chunk - pad :] = False
+            tvn = np.asarray(tv)[valid_np]
+            tcn = np.asarray(tc)[valid_np]
+            verts_out.append(tvn)
+            cols_out.append(tcn)
+        if not verts_out:
+            return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
+        return np.concatenate(verts_out), np.concatenate(cols_out)

@@ -1,0 +1,149 @@
+"""TSDF integration + marching cubes: analytic ground-truth tests.
+
+Strategy (mirrors ref test style of GT-pose integration,
+ref: example/ImageSequenceIntegration.cpp): render depth images of a known
+SDF scene from known poses, fuse, extract the mesh, and check geometry
+against the analytic surface plus mesh topology invariants (watertightness —
+every interior edge shared by exactly two triangles with opposite winding).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onepiece_tpu.geometry import se3
+from onepiece_tpu.geometry.camera import PinholeCamera
+from onepiece_tpu.integration.blocks import TSDFVolume
+from onepiece_tpu.io.ply import dedup_triangle_soup
+from onepiece_tpu.ops import mc_tables
+from onepiece_tpu.utils import synthetic
+
+CAM = PinholeCamera(fx=100.0, fy=100.0, cx=79.5, cy=59.5, width=160, height=120, depth_scale=1000.0)
+
+
+def sphere_scene(center=(0.0, 0.0, 1.5), radius=0.4):
+    return synthetic.Scene(
+        sphere_center=jnp.array([center], jnp.float32),
+        sphere_radius=jnp.array([radius], jnp.float32),
+        sphere_albedo=jnp.array([0.8], jnp.float32),
+        box_center=jnp.zeros((0, 3), jnp.float32),
+        box_half=jnp.zeros((0, 3), jnp.float32),
+        box_albedo=jnp.zeros((0,), jnp.float32),
+        plane=jnp.zeros((0, 4), jnp.float32),
+        plane_albedo=jnp.zeros((0,), jnp.float32),
+    )
+
+
+def look_poses(n, radius=1.5, center=np.array([0.0, 0.0, 1.5])):
+    """Cameras on a small arc around the sphere, looking at its center."""
+    poses = []
+    for ang in np.linspace(-0.5, 0.5, n):
+        eye = center + radius * np.array([np.sin(ang), 0.0, -np.cos(ang)])
+        fwd = center - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        upv = np.cross(fwd, right)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, upv, fwd, eye
+        poses.append(T)
+    return poses
+
+
+def fuse_sphere(n_views=5, voxel=0.02):
+    scene = sphere_scene()
+    vol = TSDFVolume(voxel_size=voxel, truncation=voxel * 5, capacity=512)
+    for T in look_poses(n_views):
+        d, g = synthetic.render(scene, jnp.asarray(T), CAM.fx, CAM.fy, CAM.cx, CAM.cy, CAM.height, CAM.width)
+        rgb = jnp.stack([g, g, g], axis=-1)
+        vol.integrate(d, rgb, jnp.asarray(T), CAM)
+    return vol
+
+
+def test_integration_allocates_band():
+    vol = fuse_sphere(n_views=3)
+    assert vol.num_active > 20
+    # all allocated blocks must be near the sphere surface band
+    centers = (vol.active_coords() + 0.5) * vol.voxel_size * 8
+    d = np.abs(np.linalg.norm(centers - np.array([0.0, 0.0, 1.5]), axis=-1) - 0.4)
+    block_diag = vol.voxel_size * 8 * np.sqrt(3)
+    assert (d < vol.truncation + block_diag).mean() > 0.95
+
+
+def test_tsdf_values_match_analytic_sdf():
+    vol = fuse_sphere(n_views=5)
+    from onepiece_tpu.ops.tsdf import voxel_centers_world
+
+    bc = jnp.asarray(vol.active_coords(), jnp.int32)
+    centers = np.asarray(voxel_centers_world(bc, vol.voxel_size))  # (B, 512, 3)
+    sdf = np.asarray(vol.sdf.reshape(vol.capacity, -1)[: vol.num_active])
+    w = np.asarray(vol.weight.reshape(vol.capacity, -1)[: vol.num_active])
+    analytic = np.linalg.norm(centers - np.array([0.0, 0.0, 1.5]), axis=-1) - 0.4
+    m = (w > 0) & (np.abs(analytic) < vol.truncation * 0.8)
+    assert m.sum() > 500
+    err = np.abs(sdf[m] * vol.truncation - analytic[m])
+    # Projective TSDF measures distance along the camera ray, not along the
+    # surface normal (same formulation as ref Integrator.cpp:36-94), so
+    # off-normal voxels carry a known cos-angle bias that grows away from
+    # the zero crossing. Surface accuracy is asserted tightly in the
+    # marching-cubes test; here we bound the band values loosely.
+    assert np.quantile(err, 0.5) < vol.voxel_size * 1.25, np.quantile(err, 0.5)
+    assert np.quantile(err, 0.9) < vol.voxel_size * 2.5, np.quantile(err, 0.9)
+
+
+def test_marching_cubes_sphere_geometry():
+    vol = fuse_sphere(n_views=5)
+    tv, tc = vol.extract_mesh()
+    assert len(tv) > 500
+    verts, faces, _ = dedup_triangle_soup(tv, tc)
+    r = np.linalg.norm(verts - np.array([0.0, 0.0, 1.5]), axis=-1)
+    # observed part of the sphere reconstructs at the right radius
+    assert abs(np.median(r) - 0.4) < 0.01, np.median(r)
+    assert np.quantile(np.abs(r - 0.4), 0.9) < 0.02
+
+
+def test_marching_cubes_watertight_on_full_field():
+    """Full analytic field (no sensor occlusion) -> closed surface: every
+    edge shared by exactly 2 faces, windings consistent. Validates the
+    generated MC table's cross-voxel and cross-block consistency."""
+    vol = TSDFVolume(voxel_size=0.05, truncation=10.0, capacity=256)
+    # cover [-4..4]^3 blocks around origin, sphere radius 0.5 at origin
+    coords = np.array([[x, y, z] for x in range(-2, 2) for y in range(-2, 2) for z in range(-2, 2)])
+    vol.allocate(coords)
+    from onepiece_tpu.ops.tsdf import voxel_centers_world
+
+    bc = jnp.asarray(vol.active_coords(), jnp.int32)
+    centers = voxel_centers_world(bc, vol.voxel_size)
+    analytic = jnp.linalg.norm(centers, axis=-1) - 0.5
+    n = vol.num_active
+    vol.sdf = vol.sdf.at[:n].set(
+        jnp.clip(analytic / vol.truncation, -1, 1).reshape(n, 8, 8, 8)
+    )
+    vol.weight = vol.weight.at[:n].set(1.0)
+    tv, tc = vol.extract_mesh(chunk=64)
+    verts, faces, _ = dedup_triangle_soup(tv, tc)
+    assert len(faces) > 100
+    # all vertices on the sphere
+    r = np.linalg.norm(verts, axis=-1)
+    assert np.abs(r - 0.5).max() < 0.06, np.abs(r - 0.5).max()
+    # watertight: each undirected edge appears exactly twice, once per direction
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    und = np.sort(edges, axis=1)
+    uniq, counts = np.unique(und, axis=0, return_counts=True)
+    assert (counts == 2).all(), np.bincount(counts)
+    dir_uniq, dir_counts = np.unique(edges, axis=0, return_counts=True)
+    assert (dir_counts == 1).all()  # consistent winding
+    # Euler characteristic of a sphere: V - E + F = 2
+    assert len(verts) - len(uniq) + len(faces) == 2
+
+
+def test_mc_table_invariants():
+    t = mc_tables.TRI_TABLE
+    c = mc_tables.TRI_COUNTS
+    assert t.shape == (256, 5, 3)
+    assert c[0] == 0 and c[255] == 0
+    # single-corner cases emit exactly 1 triangle
+    for corner in range(8):
+        assert c[1 << corner] == 1
+        assert c[255 ^ (1 << corner)] == 1
