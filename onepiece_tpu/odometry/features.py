@@ -1,0 +1,166 @@
+"""ORB-style feature detection & description in pure JAX.
+
+The reference outsources its sparse front end to OpenCV's ORB
+(ref: src/Odometry/Odometry.cpp:368-379 detectAndCompute); this framework
+implements the FAST + orientation + steered-BRIEF pipeline natively so the
+whole front end runs on device. Descriptors are only ever matched against
+descriptors produced by this same module, so instead of transcribing
+OpenCV's learned bit_pattern_31_, the 256 BRIEF point pairs are drawn once
+from a seeded Gaussian (the original BRIEF recipe) — self-consistent and
+copyright-clean.
+
+Design notes (TPU-first):
+  - FAST's 16-pixel Bresenham circle test uses 16 static `jnp.roll`s of the
+    whole image — no gathers; the >=9-contiguous-arc test is a rolling-window
+    sum over a 16-bit ring.
+  - Orientation is the intensity-centroid angle; the patch moments m10/m01
+    are two depthwise convolutions evaluated densely, then read at keypoints.
+  - Keypoint selection is one global top-k over the NMS'd score map —
+    fixed K output with a validity mask (static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import image as image_ops
+
+FAST_RADIUS = 3
+# Bresenham circle of radius 3: 16 offsets in clockwise order
+FAST_OFFSETS = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-3 + 2, -3 + 0),
+    ],
+    np.int32,
+)
+# fix last entry: proper circle is (-1,-3)
+FAST_OFFSETS[15] = (-1, -3)
+
+PATCH_RADIUS = 15  # orientation patch (31x31), like ORB
+BRIEF_BITS = 256
+
+
+class Keypoints(NamedTuple):
+    uv: jax.Array  # (K, 2) float32 pixel coords [u, v]
+    score: jax.Array  # (K,)
+    angle: jax.Array  # (K,) radians
+    desc: jax.Array  # (K, 8) uint32 packed 256-bit descriptors
+    valid: jax.Array  # (K,) bool
+
+
+def _brief_pattern(seed: int = 7) -> np.ndarray:
+    """(256, 2, 2) int32 point-pair offsets (dy, dx), Gaussian sigma = patch/5,
+    clipped to the 31x31 patch (original BRIEF G-II sampling)."""
+    rng = np.random.default_rng(seed)
+    sigma = (2 * PATCH_RADIUS + 1) / 5.0
+    pts = rng.normal(scale=sigma, size=(BRIEF_BITS, 2, 2))
+    return np.clip(np.round(pts), -(PATCH_RADIUS - 2), PATCH_RADIUS - 2).astype(np.int32)
+
+
+BRIEF_PATTERN = _brief_pattern()
+
+
+def _fast_response(gray: jax.Array, threshold: float) -> jax.Array:
+    """FAST-9/16 corner response map (0 where not a corner)."""
+    center = gray
+    ring = jnp.stack(
+        [jnp.roll(gray, (-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in FAST_OFFSETS],
+        axis=-1,
+    )  # ring[y, x, i] = gray[y + dy_i, x + dx_i]
+    diff = ring - center[..., None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def arc9(mask):
+        # rolling window: count of consecutive Trues >= 9 on the 16-ring
+        ext = jnp.concatenate([mask, mask[..., :8]], axis=-1).astype(jnp.int32)
+        c = jnp.cumsum(ext, axis=-1)
+        win = c[..., 8:] - jnp.concatenate(
+            [jnp.zeros_like(c[..., :1]), c[..., :-9]], axis=-1
+        )
+        return jnp.max(win, axis=-1) >= 9
+
+    is_corner = arc9(brighter) | arc9(darker)
+    score = jnp.maximum(
+        jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=-1),
+        jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=-1),
+    )
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _nms(score: jax.Array, radius: int = 1) -> jax.Array:
+    """3x3 (or (2r+1)^2) non-max suppression."""
+    m = score
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx == 0 and dy == 0:
+                continue
+            m = jnp.maximum(m, jnp.roll(score, (dy, dx), axis=(0, 1)))
+    return jnp.where(score >= m, score, 0.0)
+
+
+def _orientation_maps(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dense intensity-centroid moments m10, m01 over the 31x31 patch."""
+    r = PATCH_RADIUS
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
+    disk = (xs**2 + ys**2) <= r * r
+    kx = jnp.asarray((xs * disk).astype(np.float32))
+    ky = jnp.asarray((ys * disk).astype(np.float32))
+    m10 = image_ops._conv2d_same(gray, kx[::-1, ::-1])  # correlation with +x weights
+    m01 = image_ops._conv2d_same(gray, ky[::-1, ::-1])
+    return m10, m01
+
+
+@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius"))
+def detect_and_describe(
+    gray: jax.Array,  # (H, W) float in [0, 1]
+    max_keypoints: int = 1000,
+    threshold: float = 0.08,
+    nms_radius: int = 2,
+) -> Keypoints:
+    """FAST-9 + intensity-centroid orientation + steered BRIEF-256."""
+    h, w = gray.shape
+    resp = _fast_response(gray, threshold)
+    # kill the border where ring/patch sampling would wrap
+    border = PATCH_RADIUS + 1
+    vmask = jnp.zeros((h, w), bool).at[border : h - border, border : w - border].set(True)
+    resp = jnp.where(vmask, resp, 0.0)
+    resp = _nms(resp, nms_radius)
+
+    flat = resp.reshape(-1)
+    score, idx = jax.lax.top_k(flat, max_keypoints)
+    vy = (idx // w).astype(jnp.float32)
+    vx = (idx % w).astype(jnp.float32)
+    uv = jnp.stack([vx, vy], axis=-1)
+    valid = score > 0.0
+
+    m10d, m01d = _orientation_maps(gray)
+    m10 = m10d.reshape(-1)[idx]
+    m01 = m01d.reshape(-1)[idx]
+    angle = jnp.arctan2(m01, m10)
+
+    # steered BRIEF on the blurred image
+    blurred = image_ops.gaussian_blur(gray)
+    pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)  # (256, 2, 2) (dy, dx)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    dy = pat[None, :, :, 0]  # (1, 256, 2)
+    dx = pat[None, :, :, 1]
+    rx = ca[:, None, None] * dx - sa[:, None, None] * dy  # (K, 256, 2)
+    ry = sa[:, None, None] * dx + ca[:, None, None] * dy
+    sx = jnp.clip(jnp.round(uv[:, None, None, 0] + rx), 0, w - 1).astype(jnp.int32)
+    sy = jnp.clip(jnp.round(uv[:, None, None, 1] + ry), 0, h - 1).astype(jnp.int32)
+    samples = blurred.reshape(-1)[sy * w + sx]  # (K, 256, 2)
+    bits = samples[..., 0] < samples[..., 1]  # (K, 256)
+
+    weights = jnp.asarray((1 << np.arange(32)).astype(np.int64) % (1 << 32), jnp.uint32)
+    packed = jnp.sum(
+        bits.reshape(-1, 8, 32).astype(jnp.uint32) * weights[None, None, :], axis=-1,
+        dtype=jnp.uint32,
+    )
+    return Keypoints(uv, score, angle, packed, valid)

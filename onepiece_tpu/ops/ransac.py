@@ -1,0 +1,128 @@
+"""Batched-hypothesis RANSAC for rigid 3D-3D alignment and plane fitting.
+
+TPU redesign of the reference's sequential RANSAC engines — the GRANSAC
+template (ref: 3rdparty/GRANSAC/GRANSAC.hpp), `RANSAC3d`
+(ref: src/Odometry/SparseOdometryFunction.cpp:10-55, 8 samples x 400 iters
+with an inlier-ratio early exit) and `EstimateRigidTransformationRANSAC`
+(ref: src/Geometry/Ransac.cpp:7-40). Sequential hypothesize-and-test with
+early exit is hostile to XLA; the statistically equivalent batched form
+draws ALL hypotheses at once, scores them with one einsum, and argmaxes —
+no data-dependent control flow anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3, transforms
+
+
+class RansacResult(NamedTuple):
+    T: jax.Array  # (4, 4) best rigid transform
+    inliers: jax.Array  # (N,) bool
+    num_inliers: jax.Array  # scalar int
+    rmse: jax.Array  # inlier rmse
+
+
+def _sample_indices(key: jax.Array, valid: jax.Array, num_hyp: int, sample_size: int) -> jax.Array:
+    """(H, S) indices drawn from valid entries via Gumbel top-k (no replacement
+    within a hypothesis)."""
+    n = valid.shape[0]
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (num_hyp, n))
+    _, idx = jax.lax.top_k(logits[None, :] + g, sample_size)
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))
+def ransac_rigid(
+    key: jax.Array,
+    src: jax.Array,  # (N, 3)
+    dst: jax.Array,  # (N, 3)
+    valid: jax.Array,  # (N,) bool
+    threshold: float | jax.Array = 0.05,
+    num_hypotheses: int = 400,
+    sample_size: int = 8,
+) -> RansacResult:
+    """All-hypotheses-at-once rigid RANSAC with weighted-Kabsch refit.
+
+    Defaults match RANSAC3d (ref: SparseOdometryFunction.cpp:10-55).
+    """
+    idx = _sample_indices(key, valid, num_hypotheses, sample_size)
+    Ts = jax.vmap(transforms.kabsch)(src[idx], dst[idx])  # (H, 4, 4)
+    pred = jnp.einsum("hij,nj->hni", Ts[:, :3, :3], src) + Ts[:, None, :3, 3]
+    d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)  # (H, N)
+    inl = (d2 < threshold * threshold) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    best_inl = inl[best]
+    # refit on the best inlier set
+    w = best_inl.astype(jnp.float32)
+    T_refit = transforms.kabsch(src, dst, w)
+    pred_r = src @ T_refit[:3, :3].T + T_refit[:3, 3]
+    d2_r = jnp.sum((pred_r - dst) ** 2, axis=-1)
+    inl_r = (d2_r < threshold * threshold) & valid
+    # guard: refit must not be worse than the raw best hypothesis
+    better = jnp.sum(inl_r) >= counts[best]
+    T_out = jnp.where(better, T_refit, Ts[best])
+    inl_out = jnp.where(better, inl_r, best_inl)
+    nin = jnp.sum(inl_out)
+    rmse = jnp.sqrt(
+        jnp.sum(jnp.where(inl_out, jnp.where(better, d2_r, d2[best]), 0.0))
+        / jnp.clip(nin.astype(jnp.float32), 1.0, None)
+    )
+    return RansacResult(T_out, inl_out, nin, rmse)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def ransac_plane(
+    key: jax.Array,
+    points: jax.Array,  # (N, 3)
+    valid: jax.Array,
+    threshold: float = 0.02,
+    num_hypotheses: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Plane RANSAC (ref: src/Geometry/Ransac.cpp:42-77 `FitPlaneRANSAC`).
+
+    Returns (plane (4,), inlier mask (N,))."""
+    idx = _sample_indices(key, valid, num_hypotheses, 3)
+    planes = jax.vmap(transforms.fit_plane)(points[idx])  # (H, 4)
+    d = jnp.abs(
+        jnp.einsum("hi,ni->hn", planes[:, :3], points) + planes[:, 3:4]
+    )
+    inl = (d < threshold) & valid[None, :]
+    best = jnp.argmax(jnp.sum(inl, axis=-1))
+    w = inl[best].astype(jnp.float32)
+    plane = transforms.fit_plane(points, w)
+    d_r = jnp.abs(points @ plane[:3] + plane[3])
+    return plane, (d_r < threshold) & valid
+
+
+def ransapc_filter(
+    key: jax.Array,
+    src: jax.Array,
+    dst: jax.Array,
+    valid: jax.Array,
+    num_anchors: int = 8,
+    tolerance: float = 0.1,
+    min_votes: int = 5,
+) -> jax.Array:
+    """Pairwise-consistency outlier filter (RanSaPC).
+
+    (ref: src/Odometry/SparseOdometryFunction.h:50-84 `OutlierFilter::RanSaPC`,
+    applied 5x in SparseTrackingMILD, ref: Odometry.cpp:400-404.)
+    Rigid motion preserves pairwise distances: a correspondence votes for an
+    anchor if | |src_i - src_a| - |dst_i - dst_a| | < tol. The reference
+    loops anchors sequentially; here all anchors are checked in one batch.
+    Returns the filtered validity mask.
+    """
+    idx = _sample_indices(key, valid, 1, num_anchors)[0]  # (A,)
+    ds = jnp.linalg.norm(src[:, None, :] - src[idx][None], axis=-1)  # (N, A)
+    dd = jnp.linalg.norm(dst[:, None, :] - dst[idx][None], axis=-1)
+    consistent = jnp.abs(ds - dd) < tolerance
+    votes = jnp.sum(consistent & valid[idx][None, :], axis=-1)
+    return valid & (votes >= min_votes)
