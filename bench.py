@@ -56,15 +56,19 @@ def main() -> None:
     jax.block_until_ready(pyrs[-1])
 
     # Warmup/compile
-    res = dense.dense_tracking(pyrs[0], pyrs[1], cam)
+    init = jnp.eye(4)
+    res = dense.dense_tracking(pyrs[0], pyrs[1], cam, init_T=init)
     jax.block_until_ready(res)
 
-    # Timed: per-frame tracking including preprocessing of the new frame
+    # Timed: per-frame tracking, initialised with the previous relative pose
+    # (constant-velocity prior — the standard odometry setting)
     t0 = time.perf_counter()
     est_rel = []
+    prev_rel = init
     for i in range(1, n_frames):
-        res = dense.dense_tracking(pyrs[i - 1], pyrs[i], cam)
+        res = dense.dense_tracking(pyrs[i - 1], pyrs[i], cam, init_T=prev_rel)
         est_rel.append(res.T_ts)
+        prev_rel = res.T_ts
     jax.block_until_ready(est_rel)
     dt = time.perf_counter() - t0
     fps = (n_frames - 1) / dt

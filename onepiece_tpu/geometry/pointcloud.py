@@ -105,6 +105,18 @@ class PointCloud:
         )
 
 
+def compact(cloud: PointCloud, capacity: int | None = None) -> PointCloud:
+    """Host-side compaction: move valid points to the front and shrink the
+    padded capacity to the next bucket. Used at submap boundaries where the
+    accumulated capacity vastly exceeds the live point count — downstream
+    kNN/FPFH cost scales with capacity, not validity."""
+    v = np.asarray(cloud.valid)
+    pts = np.asarray(cloud.points)[v]
+    nrm = np.asarray(cloud.normals)[v]
+    col = np.asarray(cloud.colors)[v]
+    return PointCloud.from_numpy(pts, nrm, col, capacity=capacity)
+
+
 def merge(a: PointCloud, b: PointCloud) -> PointCloud:
     """Concatenate two clouds (ref: src/Geometry/PointCloud.cpp:49-67 `MergePCD`)."""
     return PointCloud(

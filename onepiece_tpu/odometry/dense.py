@@ -133,7 +133,7 @@ def _track_level(
     jax.jit,
     static_argnames=("camera", "iters", "term", "huber_delta", "lambda_depth"),
 )
-def dense_tracking(
+def dense_tracking_exact(
     source: FramePyramid,
     target: FramePyramid,
     camera: PinholeCamera,
@@ -147,6 +147,11 @@ def dense_tracking(
 
     iters[0] applies to the coarsest level (ref: Odometry.cpp:621-685
     `MultiScaleComputing`, iteration counts {16, 8, 4} coarse->fine).
+
+    This is the reference-exact formulation with per-iteration bilinear
+    gathers — numerically the baseline, but TPU gathers cost ~7ns/index so
+    per-iteration gathers are slow there; `dense_tracking` (pre-warp +
+    stencil) is the TPU-fast path validated against this one.
     """
     levels = len(source.grays)
     assert len(iters) == levels
@@ -173,3 +178,174 @@ def dense_tracking(
 def chain_pose(T_w_source: jax.Array, T_ts: jax.Array) -> jax.Array:
     """T_w_target = T_w_source @ inv(T_ts) (ref: DenseSlam.cpp:30)."""
     return T_w_source @ se3.inverse_T(T_ts)
+
+
+# ---------------------------------------------------------------------------
+# TPU-fast path: per-level nearest pre-warp (one gather) + gather-free
+# stencil sampling inside the GN loop. See ops/warp.py for the rationale.
+# ---------------------------------------------------------------------------
+
+
+def _nearest_prewarp(
+    grays: jax.Array, depths: jax.Array, uv0f: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Nearest-neighbour warp of (gray, depth, valid) by rounded coords.
+
+    Returns (stack6 (6, H, W) = warped gray/gx/gy/depth/zx/zy planes,
+             stack_valid (H, W), uv0i (H, W, 2) the rounded base coords).
+    Nearest pre-warp + bilinear stencil == direct bilinear sampling, because
+    the stencil interpolates the residual d = uv_true - uv0i exactly.
+    """
+    h, w = grays.shape
+    uv0i = jnp.round(uv0f)
+    ui = uv0i[..., 0].astype(jnp.int32)
+    vi = uv0i[..., 1].astype(jnp.int32)
+    inb = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    uic = jnp.clip(ui, 0, w - 1)
+    vic = jnp.clip(vi, 0, h - 1)
+    src = jnp.stack([grays, depths, (depths > 0).astype(jnp.float32)], axis=-1)
+    warped = src.reshape(-1, 3)[vic * w + uic]  # ONE gather
+    warped = jnp.where(inb[..., None], warped, 0.0)
+    g_w, z_w, ind = warped[..., 0], warped[..., 1], warped[..., 2]
+    gx, gy = image_ops.sobel(g_w)
+    zx, zy = image_ops.sobel(z_w)
+    s = SOBEL_SCALE
+    stack6 = jnp.stack([g_w, gx * s, gy * s, z_w, zx * s, zy * s], axis=0)
+    valid = inb & (ind > 0.5)
+    return stack6, valid, uv0i
+
+
+def _track_level_prewarp(
+    T0: jax.Array,
+    src_xyz: jax.Array,  # (H, W, 3)
+    src_gray: jax.Array,  # (H, W)
+    tgt_gray: jax.Array,  # (H, W)
+    tgt_depth: jax.Array,  # (H, W)
+    cam: PinholeCamera,
+    iters: int,
+    radius: int,
+    lambda_depth: float,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    from ..ops import warp as warp_ops
+
+    fx = jnp.float32(cam.fx)
+    fy = jnp.float32(cam.fy)
+    cx = jnp.float32(cam.cx)
+    cy = jnp.float32(cam.cy)
+    z_src = src_xyz[..., 2]
+    src_valid = z_src > 0
+
+    def project(T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        p = jnp.einsum("ij,hwj->hwi", R, src_xyz) + t
+        z = p[..., 2]
+        zs = jnp.where(z > 1e-6, z, 1.0)
+        u = p[..., 0] / zs * fx + cx
+        v = p[..., 1] / zs * fy + cy
+        return p, z, jnp.stack([u, v], axis=-1)
+
+    # pre-warp at level entry with T0 (one gather)
+    _, _, uv0f = project(T0)
+    stack6, stack_valid, uv0i = _nearest_prewarp(tgt_gray, tgt_depth, uv0f)
+
+    lam = jnp.float32(lambda_depth)
+    ddm = jnp.float32(DEPTH_DIFF_MAX)
+
+    def body(_, carry):
+        T, _c, _n = carry
+        p, z, uv = project(T)
+        d = jnp.stack([uv[..., 0] - uv0i[..., 0], uv[..., 1] - uv0i[..., 1]])
+        vals, ok = warp_ops.stencil_sample(stack6, stack_valid, d, radius)
+        g, gx, gy, zt, ztx, zty = (vals[i] for i in range(6))
+        r_i = g - src_gray
+        r_z = zt - z
+        valid = ok & src_valid & (z > 1e-6) & (jnp.abs(r_z) < ddm)
+
+        # Jacobian rows as 6 image planes each (channels-first: W on lanes)
+        px, py = p[..., 0], p[..., 1]
+        inv_z = 1.0 / jnp.where(z > 1e-6, z, 1.0)
+        a = fx * inv_z
+        b = fy * inv_z
+
+        def twist_rows(cx_, cy_, extra_z=0.0):
+            # row = cx_ * du/dp + cy_ * dv/dp (+ extra_z * e_z), then [row | p x row]
+            g1 = cx_ * a
+            g2 = cy_ * b
+            g3 = -(cx_ * a * px + cy_ * b * py) * inv_z + extra_z
+            w1 = py * g3 - z * g2
+            w2 = z * g1 - px * g3
+            w3 = px * g2 - py * g1
+            return (g1, g2, g3, w1, w2, w3)
+
+        Ji = twist_rows(gx, gy)
+        Jz = twist_rows(ztx, zty, extra_z=-1.0)
+
+        vf = valid.astype(jnp.float32)
+        wi = vf * (1.0 - lam)
+        wz = vf * lam
+        Ji_m = jnp.stack([x.reshape(-1) for x in Ji])  # (6, N)
+        Jz_m = jnp.stack([x.reshape(-1) for x in Jz])
+        wi_f = wi.reshape(-1)
+        wz_f = wz.reshape(-1)
+        JTJ = jnp.einsum("in,n,jn->ij", Ji_m, wi_f, Ji_m) + jnp.einsum(
+            "in,n,jn->ij", Jz_m, wz_f, Jz_m
+        )
+        JTr = Ji_m @ (wi_f * r_i.reshape(-1)) + Jz_m @ (wz_f * r_z.reshape(-1))
+        cost = jnp.sum(wi * r_i * r_i + wz * r_z * r_z)
+        nin = jnp.sum(vf)
+        A = JTJ + 1e-6 * jnp.eye(6, dtype=JTJ.dtype)
+        xi = jnp.linalg.solve(A, -JTr)
+        good = jnp.all(jnp.isfinite(xi)) & (nin > 6)
+        xi = jnp.where(good, xi, 0.0)
+        return se3.se3_exp(xi) @ T, cost, nin
+
+    T, cost, nin = jax.lax.fori_loop(
+        0, iters, body, (T0, jnp.float32(0.0), jnp.float32(0.0))
+    )
+    return T, cost, nin, uv0i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("camera", "iters", "radii", "lambda_depth"),
+)
+def dense_tracking(
+    source: FramePyramid,
+    target: FramePyramid,
+    camera: PinholeCamera,
+    init_T: jax.Array | None = None,
+    iters: tuple[int, ...] = DEFAULT_ITERS,
+    radii: tuple[int, ...] = (8, 4, 4),
+    lambda_depth: float = LAMBDA_HYBRID_DEPTH,
+) -> DenseTrackingResult:
+    """TPU-fast multi-scale dense tracking (pre-warp + stencil).
+
+    Per level: ONE nearest-neighbour gather rebases the target onto the
+    source grid at the level-entry pose, then `iters` gather-free GN
+    iterations sample the pre-warped stack with a (2r+1)^2 stencil.
+    radii[0] is the coarsest level's stencil radius (largest because the
+    init pose is least converged there). Numerics match
+    `dense_tracking_exact` to the warp-smoothness approximation.
+    """
+    levels = len(source.grays)
+    assert len(iters) == levels and len(radii) == levels
+    T = jnp.eye(4, dtype=jnp.float32) if init_T is None else init_T
+    cams = camera.pyramid(levels)
+    cost = jnp.float32(0.0)
+    nin = jnp.float32(1.0)
+    for li in reversed(range(levels)):  # coarsest first
+        k = levels - 1 - li
+        T, cost, nin, _ = _track_level_prewarp(
+            T,
+            source.xyzs[li],
+            source.grays[li],
+            target.grays[li],
+            target.depths[li],
+            cams[li],
+            iters[k],
+            radii[k],
+            lambda_depth,
+        )
+    rmse = jnp.sqrt(cost / jnp.clip(nin, 1.0, None))
+    return DenseTrackingResult(T, cost, nin, rmse)

@@ -110,8 +110,8 @@ def _orientation_maps(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
     r = PATCH_RADIUS
     ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
     disk = (xs**2 + ys**2) <= r * r
-    kx = jnp.asarray((xs * disk).astype(np.float32))
-    ky = jnp.asarray((ys * disk).astype(np.float32))
+    kx = (xs * disk).astype(np.float32)
+    ky = (ys * disk).astype(np.float32)
     m10 = image_ops._conv2d_same(gray, kx[::-1, ::-1])  # correlation with +x weights
     m01 = image_ops._conv2d_same(gray, ky[::-1, ::-1])
     return m10, m01

@@ -22,19 +22,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _conv2d_same(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Single-channel 2D correlation with edge replication, (H, W) x (kh, kw)."""
-    kh, kw = kernel.shape
+def _conv2d_same(img: jax.Array, kernel) -> jax.Array:
+    """Single-channel 2D correlation with edge replication, (H, W) x (kh, kw).
+    `kernel` must be a concrete numpy array (taps unroll at trace time).
+
+    Implemented as a static-slice stencil (pad once, FMA over taps) rather
+    than conv_general_dilated: XLA's TPU conv path wastes the 128-lane unit
+    on single-channel images, while the slice stencil fuses into one
+    full-lane VPU pass.
+    """
+    k_np = np.asarray(kernel)
+    kh, kw = k_np.shape
     ph, pw = kh // 2, kw // 2
+    h, w = img.shape
     padded = jnp.pad(img, ((ph, ph), (pw, pw)), mode="edge")
-    out = jax.lax.conv_general_dilated(
-        padded[None, None],
-        kernel[None, None].astype(img.dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    if kh * kw > 64:
+        # large kernels (e.g. the 31x31 orientation disk): one XLA conv call
+        # beats thousands of unrolled taps
+        out = jax.lax.conv_general_dilated(
+            padded[None, None],
+            jnp.asarray(k_np[None, None], img.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out[0, 0]
+    out = jnp.zeros_like(img)
+    for iy in range(kh):
+        for ix in range(kw):
+            c = float(k_np[iy, ix])
+            if c == 0.0:
+                continue
+            out = out + c * padded[iy : iy + h, ix : ix + w]
+    return out
 
 
 _BINOMIAL5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
@@ -42,7 +62,7 @@ _BINOMIAL5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 
 def gaussian_blur(img: jax.Array) -> jax.Array:
     """5x5 binomial (Gaussian) blur, separable. (ref: ImageProcessing.cpp:43)."""
-    k = jnp.asarray(_BINOMIAL5, img.dtype)
+    k = _BINOMIAL5
     tmp = _conv2d_same(img, k[None, :])
     return _conv2d_same(tmp, k[:, None])
 
@@ -68,15 +88,14 @@ _SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
 
 def sobel(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """3x3 Sobel dx, dy (ref: ImageProcessing.cpp:25 `SobelFiltering`)."""
-    kx = jnp.asarray(_SOBEL_X, img.dtype)
-    dx = _conv2d_same(img, kx)
-    dy = _conv2d_same(img, kx.T)
+    dx = _conv2d_same(img, _SOBEL_X)
+    dy = _conv2d_same(img, _SOBEL_X.T)
     return dx, dy
 
 
 def scharr(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """3x3 Scharr gradients (better rotational symmetry than Sobel)."""
-    k = jnp.asarray(np.array([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]]), img.dtype)
+    k = np.array([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]])
     return _conv2d_same(img, k), _conv2d_same(img, k.T)
 
 

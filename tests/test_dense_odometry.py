@@ -46,13 +46,13 @@ def test_dense_tracking_recovers_motion(xi):
     (f0, f1), T1 = render_pair(xi)
     src = dense.preprocess_frame(f0[1], f0[0], CAM)
     tgt = dense.preprocess_frame(f1[1], f1[0], CAM)
-    res = dense.dense_tracking(src, tgt, CAM)
-    # ground truth: p_cam1 = inv(T1) @ p_cam0  (world == cam0 frame)
     T_ts_gt = se3.inverse_T(T1)
-    t_err, r_err = pose_error(res.T_ts, T_ts_gt)
-    assert t_err < 0.004, (t_err, r_err)
-    assert r_err < 0.004, (t_err, r_err)
-    assert float(res.num_inliers) > 2000
+    for track in (dense.dense_tracking, dense.dense_tracking_exact):
+        res = track(src, tgt, CAM)
+        t_err, r_err = pose_error(res.T_ts, T_ts_gt)
+        assert t_err < 0.006, (track.__name__, t_err, r_err)
+        assert r_err < 0.005, (track.__name__, t_err, r_err)
+        assert float(res.num_inliers) > 2000
 
 
 def test_dense_tracking_identity():
@@ -81,7 +81,7 @@ def test_photo_and_depth_terms():
     src = dense.preprocess_frame(f0[1], f0[0], CAM)
     tgt = dense.preprocess_frame(f1[1], f1[0], CAM)
     for term in ("photo", "depth"):
-        res = dense.dense_tracking(src, tgt, CAM, term=term)
+        res = dense.dense_tracking_exact(src, tgt, CAM, term=term)
         t_err, r_err = pose_error(res.T_ts, se3.inverse_T(T1))
         assert t_err < 0.01, (term, t_err)
         assert r_err < 0.01, (term, r_err)

@@ -1,0 +1,54 @@
+"""End-to-end SLAM systems on short synthetic sequences with GT ATE bounds."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onepiece_tpu.geometry.camera import PinholeCamera
+from onepiece_tpu.io import trajectory as traj
+from onepiece_tpu.systems.dense_slam import DenseSlam
+from onepiece_tpu.systems.fbaslam import FBASlam
+from onepiece_tpu.utils import synthetic
+
+CAM = PinholeCamera(fx=100.0, fy=100.0, cx=79.5, cy=59.5, width=160, height=120, depth_scale=1000.0)
+
+
+def render_seq(n):
+    scene = synthetic.default_scene()
+    poses = synthetic.orbit_trajectory(n)
+    out = []
+    for i in range(n):
+        d, g = synthetic.render(
+            scene, jnp.asarray(poses[i]), CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+            CAM.height, CAM.width, num_steps=64,
+        )
+        out.append((np.asarray(g), np.asarray(d)))
+    return out, poses
+
+
+def test_dense_slam_short_sequence():
+    frames, gt = render_seq(12)
+    slam = DenseSlam(CAM, submap_size=6)
+    for g, d in frames:
+        slam.update_frame(g, d)
+    est = slam.trajectory()
+    assert est.shape == (12, 4, 4)
+    ate = traj.ate_rmse(est, gt)
+    assert ate < 0.01, ate
+    # submaps created and registered
+    assert len(slam.submap_poses) == 2
+    assert any(m.get("icp_ok") for m in slam.metrics if "icp_ok" in m)
+
+
+def test_fba_slam_short_sequence():
+    frames, gt = render_seq(14)
+    slam = FBASlam(CAM, fast_threshold=0.03, keyframe_disparity=10.0)
+    for g, d in frames:
+        info = slam.update_frame(g, d)
+        assert info["success"], info
+    est = slam.trajectory()
+    ate = traj.ate_rmse(est, gt)
+    # sparse 3D-3D at 160x120 is pixel-quantisation limited (~cm scale)
+    assert ate < 0.06, ate
+    assert len(slam.keyframe_frames) >= 2
+    assert len(slam.edges) >= len(slam.keyframe_frames) - 1

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""FBAFusion: sparse keyframe SLAM with loop closure + pose-graph BA.
+
+CLI rebuild of ref example/FBAFusion/FBAFusion.cpp:10-105: FBASlam frame
+loop, then TSDF reconstruction at optimised poses and trajectory output.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    from _common import add_dataset_args, load_frames
+
+    add_dataset_args(ap)
+    ap.add_argument("--out-mesh", type=str, default="")
+    ap.add_argument("--out-traj", type=str, default="trajectory.txt")
+    ap.add_argument("--voxel", type=float, default=0.02)
+    ap.add_argument("--integrate-stride", type=int, default=8)
+    ap.add_argument("--fast-threshold", type=float, default=0.05)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from onepiece_tpu.io import trajectory as traj
+    from onepiece_tpu.systems.fbaslam import FBASlam
+
+    frames, cam, gt = load_frames(args)
+    slam = FBASlam(cam, fast_threshold=args.fast_threshold)
+    kept = []
+    t0 = time.perf_counter()
+    for ts, gray, depth in frames:
+        info = slam.update_frame(gray, depth)
+        if info["frame"] % args.integrate_stride == 0:
+            kept.append((info["frame"], gray, depth))
+        tag = "KF" if info.get("keyframe") else "  "
+        if info["frame"] % 10 == 0 or info.get("keyframe"):
+            print(f"frame {info['frame']} {tag} success={info['success']} disp={info.get('disparity', 0):.1f}")
+    n = slam.frame_count
+    dt = time.perf_counter() - t0
+    print(f"slam: {n} frames, {len(slam.keyframe_frames)} keyframes, "
+          f"{len(slam.edges)} edges in {dt:.2f}s ({n / dt:.2f} fps)")
+
+    poses = slam.trajectory()
+    traj.write_matrix_trajectory(args.out_traj, poses)
+    if gt is not None:
+        print(f"ATE RMSE: {traj.ate_rmse(poses, gt[: len(poses)]):.5f} m")
+
+    if args.out_mesh:
+        from onepiece_tpu.integration.blocks import TSDFVolume
+        from onepiece_tpu.io.ply import dedup_triangle_soup, write_ply_mesh
+        from onepiece_tpu.ops.image import bilateral_filter
+
+        vol = TSDFVolume(voxel_size=args.voxel, truncation=args.voxel * 5)
+        for fidx, gray, depth in kept:
+            d = bilateral_filter(jnp.asarray(depth))
+            rgb = jnp.stack([jnp.asarray(gray)] * 3, -1)
+            vol.integrate(d, rgb, jnp.asarray(poses[fidx], jnp.float32), cam)
+        tv, tc = vol.extract_mesh()
+        verts, faces, cols = dedup_triangle_soup(tv, tc)
+        write_ply_mesh(args.out_mesh, verts, faces, colors=cols)
+        print(f"mesh: {len(verts)} verts {len(faces)} faces -> {args.out_mesh}")
+
+
+if __name__ == "__main__":
+    main()
