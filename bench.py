@@ -1,14 +1,14 @@
 """Benchmark harness. Prints ONE JSON line with the headline metric.
 
-Headline (per BASELINE.json): frames/s/chip for dense RGB-D odometry (+TSDF
-fusion once integrated) at 640x480, plus ATE RMSE on a synthetic ground-truth
-sequence (no datasets are shipped in this environment; the SDF renderer
-provides pixel-perfect ground truth).
+Headline (per BASELINE.json): frames/s/chip for the dense RGB-D
+odometry + TSDF fusion pipeline at 640x480, with ATE RMSE against the
+synthetic sequence's analytic ground-truth trajectory (no public datasets
+exist in this environment; the SDF renderer provides exact GT).
 
-vs_baseline compares against the reference CPU implementation's measured
-frames/s stored in BASELINE_MEASURED.json (produced by building and running
-the reference binaries); falls back to the conservative estimate documented
-there if the measurement is absent.
+vs_baseline divides by the reference CPU pipeline's throughput measured on
+this same machine (BASELINE_MEASURED.json, produced by bench_reference/ —
+the reference's own C++ sources compiled headless and run on the same
+synthetic dataset).
 """
 
 from __future__ import annotations
@@ -20,13 +20,12 @@ import time
 import numpy as np
 
 
-def _load_baseline_fps() -> float:
+def _baseline() -> dict:
     path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     if os.path.exists(path):
         with open(path) as f:
-            data = json.load(f)
-        return float(data.get("dense_odometry_tsdf_fps_cpu") or data.get("dense_odometry_fps_cpu", 1.0))
-    return 1.0
+            return json.load(f)
+    return {}
 
 
 def main() -> None:
@@ -35,12 +34,13 @@ def main() -> None:
 
     from onepiece_tpu.geometry import se3
     from onepiece_tpu.geometry.camera import TUM_CAMERA
+    from onepiece_tpu.integration.blocks import TSDFVolume
     from onepiece_tpu.odometry import dense
+    from onepiece_tpu.ops.image import bilateral_filter
     from onepiece_tpu.utils import synthetic
 
     cam = TUM_CAMERA
-    n_frames = 12
-    # Render a 640x480 synthetic sequence on device
+    n_frames = 16
     scene = synthetic.default_scene()
     poses = synthetic.orbit_trajectory(n_frames)
     frames = []
@@ -52,44 +52,66 @@ def main() -> None:
         frames.append((d, g))
     jax.block_until_ready(frames[-1])
 
-    pyrs = [dense.preprocess_frame(g, d, cam) for d, g in frames]
-    jax.block_until_ready(pyrs[-1])
+    vol = TSDFVolume(voxel_size=0.0125, truncation=0.1, capacity=8192)
 
-    # Warmup/compile
-    init = jnp.eye(4)
-    res = dense.dense_tracking(pyrs[0], pyrs[1], cam, init_T=init)
+    def step(prev_pyr, pyr, prev_rel, depth, gray, pose_world):
+        res = dense.dense_tracking(prev_pyr, pyr, cam, init_T=prev_rel)
+        d_f = bilateral_filter(depth)
+        rgb = jnp.stack([gray, gray, gray], -1)
+        vol.integrate(d_f, rgb, pose_world, cam)
+        return res
+
+    # warmup/compile: run two frames through the full pipeline
+    pyr0 = dense.preprocess_frame(frames[0][1], frames[0][0], cam)
+    pyr1 = dense.preprocess_frame(frames[1][1], frames[1][0], cam)
+    res = step(pyr0, pyr1, jnp.eye(4), frames[1][0], frames[1][1], jnp.eye(4))
     jax.block_until_ready(res)
+    # rebuild the volume so timing starts clean (but compiled)
+    vol = TSDFVolume(voxel_size=0.0125, truncation=0.1, capacity=8192)
 
-    # Timed: per-frame tracking, initialised with the previous relative pose
-    # (constant-velocity prior — the standard odometry setting)
+    # timed: full per-frame pipeline — preprocess + tracking + TSDF fuse
     t0 = time.perf_counter()
-    est_rel = []
-    prev_rel = init
+    est_poses = [np.eye(4, dtype=np.float32)]
+    prev_rel = jnp.eye(4)
+    prev_pyr = dense.preprocess_frame(frames[0][1], frames[0][0], cam)
+    t_track = 0.0
     for i in range(1, n_frames):
-        res = dense.dense_tracking(pyrs[i - 1], pyrs[i], cam, init_T=prev_rel)
-        est_rel.append(res.T_ts)
+        d, g = frames[i]
+        pyr = dense.preprocess_frame(g, d, cam)
+        tt = time.perf_counter()
+        res = dense.dense_tracking(prev_pyr, pyr, cam, init_T=prev_rel)
+        jax.block_until_ready(res.T_ts)
+        t_track += time.perf_counter() - tt
+        T_world = est_poses[-1] @ np.asarray(se3.inverse_T(res.T_ts))
+        est_poses.append(T_world)
+        d_f = bilateral_filter(d)
+        vol.integrate(d_f, jnp.stack([g, g, g], -1), jnp.asarray(T_world), cam)
+        prev_pyr = pyr
         prev_rel = res.T_ts
-    jax.block_until_ready(est_rel)
+    jax.block_until_ready(vol.sdf)
     dt = time.perf_counter() - t0
     fps = (n_frames - 1) / dt
 
-    # Trajectory accuracy vs analytic ground truth
-    est_poses = [np.eye(4, dtype=np.float32)]
-    for T_ts in est_rel:
-        est_poses.append(est_poses[-1] @ np.asarray(se3.inverse_T(T_ts)))
     from onepiece_tpu.io import trajectory as traj
 
     ate = traj.ate_rmse(np.stack(est_poses), poses)
-
-    baseline_fps = _load_baseline_fps()
+    base = _baseline()
+    base_fps = float(base.get("dense_odometry_tsdf_fps_cpu", 1.0))
     print(
         json.dumps(
             {
-                "metric": "dense_odometry_fps_chip",
+                "metric": "dense_odometry_tsdf_fps_chip",
                 "value": round(fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 3),
-                "extra": {"ate_rmse_m": round(ate, 5), "frames": n_frames, "resolution": "640x480"},
+                "vs_baseline": round(fps / base_fps, 3),
+                "extra": {
+                    "ate_rmse_m": round(ate, 5),
+                    "tracking_ms_per_frame": round(t_track / (n_frames - 1) * 1e3, 2),
+                    "frames": n_frames,
+                    "resolution": "640x480",
+                    "active_blocks": vol.num_active,
+                    "baseline_fps_cpu": base_fps,
+                },
             }
         )
     )

@@ -19,6 +19,7 @@ recompile per doubling, amortised silent).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,37 @@ from ..ops.tsdf import CUBE_SIZE
 # — ref: src/Integration/CubeHandler.h:15 and Integrator truncation default)
 DEFAULT_VOXEL_SIZE = 0.0125
 DEFAULT_TRUNCATION = 0.1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "voxel_size", "truncation", "max_weight"),
+)
+def _integrate_slots(
+    sdf, weight, color, block_coords, slots, depth, rgb, T_cw,
+    fx, fy, cx, cy, voxel_size, truncation, max_weight,
+):
+    """Gather touched slots -> integrate -> scatter back (one device program)."""
+    n = CUBE_SIZE
+    cap = sdf.shape[0]
+    # padding entries carry slot == cap (out of bounds): gathers clamp to a
+    # real slot but their updates are masked off, and the scatter uses
+    # mode='drop' so they write nothing.
+    active = slots < cap
+    safe = jnp.clip(slots, 0, cap - 1)
+    m = slots.shape[0]
+    sdf_g = sdf[safe].reshape(m, -1)
+    w_g = weight[safe].reshape(m, -1)
+    c_g = color[safe].reshape(m, -1, 3)
+    bc_g = block_coords[safe]
+    sdf_n, w_n, c_n = tsdf_ops.integrate_blocks(
+        sdf_g, w_g, c_g, bc_g, active, depth, rgb, T_cw,
+        fx, fy, cx, cy, voxel_size, truncation, max_weight,
+    )
+    sdf = sdf.at[slots].set(sdf_n.reshape(-1, n, n, n), mode="drop")
+    weight = weight.at[slots].set(w_n.reshape(-1, n, n, n), mode="drop")
+    color = color.at[slots].set(c_n.reshape(-1, n, n, n, 3), mode="drop")
+    return sdf, weight, color
 
 
 @dataclasses.dataclass
@@ -104,31 +136,36 @@ class TSDFVolume:
         Returns the number of active blocks after allocation.
         """
         T_wc = jnp.asarray(T_wc, jnp.float32)
-        coords, valid = tsdf_ops.touched_block_coords(
+        keys = tsdf_ops.touched_block_keys(
             depth, T_wc, camera.fx, camera.fy, camera.cx, camera.cy,
             self.voxel_size, self.truncation,
         )
-        coords_np = np.asarray(coords)[np.asarray(valid)]
-        self.allocate(np.unique(coords_np, axis=0))
+        coords = tsdf_ops.unpack_block_keys(keys)
+        self.allocate(coords)
 
         if rgb is None:
             rgb = jnp.zeros(depth.shape + (3,), jnp.float32)
         T_cw = jnp.linalg.inv(T_wc)
-        c = self.capacity
-        active = jnp.arange(c) < self.num_active
-        bc = jnp.asarray(self.block_coords, jnp.int32)
-        sdf_f = self.sdf.reshape(c, -1)
-        w_f = self.weight.reshape(c, -1)
-        col_f = self.color.reshape(c, -1, 3)
-        sdf_n, w_n, col_n = tsdf_ops.integrate_blocks(
-            sdf_f, w_f, col_f, bc, active, depth, rgb, T_cw,
+
+        # integrate ONLY this frame's touched blocks (the reference's
+        # candidate-cube list, CubeHandler.cpp:205-208): gather their voxel
+        # data by slot, update, scatter back. Slot count is bucketed so the
+        # compiled program is reused across frames.
+        slots = np.array([self.slot_of[tuple(c)] for c in coords], np.int64)
+        # single bucket size -> one compiled program for the whole run
+        bucket = 4096
+        while bucket < len(slots):
+            bucket *= 2
+        slots_p = np.full(bucket, self.capacity, np.int64)  # capacity = drop
+        slots_p[: len(slots)] = slots
+        n = CUBE_SIZE
+        self.sdf, self.weight, self.color = _integrate_slots(
+            self.sdf, self.weight, self.color,
+            jnp.asarray(self.block_coords, jnp.int32),
+            jnp.asarray(slots_p), depth, rgb, T_cw,
             camera.fx, camera.fy, camera.cx, camera.cy,
             self.voxel_size, self.truncation, self.max_weight,
         )
-        n = CUBE_SIZE
-        self.sdf = sdf_n.reshape(c, n, n, n)
-        self.weight = w_n.reshape(c, n, n, n)
-        self.color = col_n.reshape(c, n, n, n, 3)
         return self.num_active
 
     # -- meshing ----------------------------------------------------------

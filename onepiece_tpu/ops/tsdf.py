@@ -138,3 +138,50 @@ def touched_block_coords(
         coords.append(jnp.floor(pts_w / block_edge).astype(jnp.int32).reshape(-1, 3))
     k = len(offsets)
     return jnp.concatenate(coords), jnp.tile(valid.reshape(-1), (k,))
+
+
+INVALID_KEY = jnp.int32((1 << 30))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("voxel_size", "truncation", "max_blocks", "stride")
+)
+def touched_block_keys(
+    depth: jax.Array,
+    T_wc: jax.Array,
+    fx: float, fy: float, cx: float, cy: float,
+    voxel_size: float,
+    truncation: float,
+    max_blocks: int = 4096,
+    stride: int = 2,
+) -> jax.Array:
+    """Unique packed block keys touched by the truncation band, ON DEVICE.
+
+    The naive coord list is H*W*5 x 3 ints (~18 MB/frame of host transfer);
+    a device-side fixed-size `jnp.unique` over 30-bit packed keys shrinks
+    the transfer to `max_blocks` ints. Pixels are subsampled by `stride`
+    (blocks are 8 voxels wide — a 2-px stride cannot skip one) to cut the
+    sort size. Keys pack (c+512) into 10 bits/axis; INVALID_KEY fills unused
+    slots. Host unpacks with `unpack_block_keys`.
+    """
+    coords, valid = touched_block_coords(
+        depth[::stride, ::stride], T_wc,
+        fx / stride, fy / stride, cx / stride, cy / stride,
+        voxel_size, truncation,
+    )
+    c = jnp.clip(coords + 512, 0, 1023)
+    keys = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+    keys = jnp.where(valid, keys, INVALID_KEY)
+    return jnp.unique(keys, size=max_blocks, fill_value=INVALID_KEY)
+
+
+def unpack_block_keys(keys) -> "np.ndarray":
+    """Host helper: packed keys -> (N, 3) int coords, dropping fill slots."""
+    import numpy as np
+
+    k = np.asarray(keys)
+    k = k[k != int(INVALID_KEY)]
+    x = (k >> 20) & 1023
+    y = (k >> 10) & 1023
+    z = k & 1023
+    return np.stack([x, y, z], -1).astype(np.int64) - 512

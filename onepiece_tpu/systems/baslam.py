@@ -1,0 +1,197 @@
+"""BASlam: sparse keyframe SLAM with world-point tracks and full BA.
+
+TPU rebuild of the reference's BAFusion system (ref:
+example/BAFusion/BASlam.{h,cpp}): the same sparse front end as FBASlam, but
+matches are chained into world-point TRACKS (local->global index maps,
+ref BASlam.cpp:89-150), and optimisation is full bundle adjustment over
+world points + keyframe poses with the Schur complement
+(ref BASlam.cpp:281-289 -> optimization/bundle.py) instead of a pose graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import PinholeCamera
+from ..lcdetection.mild import LoopClosureDetector
+from ..odometry import sparse
+from ..optimization import bundle
+from .keyframe_slam import KEYFRAME_DISPARITY, KeyframeSlamState, average_disparity
+
+
+@dataclasses.dataclass
+class BASlam:
+    camera: PinholeCamera
+    max_keypoints: int = 1000
+    fast_threshold: float = 0.05
+    keyframe_disparity: float = KEYFRAME_DISPARITY
+    ba_every: int = 1  # run BA on every ba_every-th keyframe
+
+    def __post_init__(self):
+        self.state = KeyframeSlamState(self.camera)
+        self.lcd = LoopClosureDetector()
+        self.keyframe_frames: list[sparse.SparseFrame] = []
+        self.keyframe_poses: list[np.ndarray] = []  # world-from-keyframe
+        # world-point tracks
+        self.world_points: list[np.ndarray] = []
+        self.track_of_kp: list[np.ndarray] = []  # per keyframe: (K,) global id or -1
+        self.observations: list[tuple[int, int, float, float]] = []  # (kf, pid, u, v)
+        self.frame_count = 0
+        self._rng = np.random.default_rng(0)
+
+    def _extract(self, gray, depth) -> sparse.SparseFrame:
+        return sparse.extract_sparse_frame(
+            jnp.asarray(gray), jnp.asarray(depth), self.camera,
+            max_keypoints=self.max_keypoints, threshold=self.fast_threshold,
+        )
+
+    def _track(self, src, tgt):
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        return sparse.sparse_tracking(src, tgt, self.camera, key)
+
+    def _add_observation(self, kf: int, pid: int, uv: np.ndarray) -> None:
+        self.observations.append((kf, pid, float(uv[0]), float(uv[1])))
+
+    def _link_tracks(self, src_kf: int, dst_kf: int, res) -> int:
+        """Extend/create tracks from inlier matches between two keyframes.
+
+        (ref BASlam.cpp:89-150 — local/global index maps with union on
+        matches.) Returns the number of linked correspondences.
+        """
+        src_frame = self.keyframe_frames[src_kf]
+        dst_frame = self.keyframe_frames[dst_kf]
+        v = np.asarray(res.corr_valid)
+        # recover which dst keypoint each src keypoint matched by proximity of
+        # the stored corr_dst points to dst's keypoint 3D points
+        src_pts = np.asarray(res.corr_src)
+        dst_pts = np.asarray(res.corr_dst)
+        dst_kp_pts = np.asarray(dst_frame.points)
+        linked = 0
+        src_tracks = self.track_of_kp[src_kf]
+        dst_tracks = self.track_of_kp[dst_kf]
+        src_uv = np.asarray(src_frame.kp.uv)
+        dst_uv = np.asarray(dst_frame.kp.uv)
+        T_src = self.keyframe_poses[src_kf]
+        for i in np.nonzero(v)[0]:
+            # find the dst keypoint index for this correspondence
+            d = np.linalg.norm(dst_kp_pts - dst_pts[i], axis=-1)
+            j = int(np.argmin(d))
+            if d[j] > 1e-4:
+                continue
+            tid = src_tracks[i]
+            if tid < 0 and dst_tracks[j] >= 0:
+                tid = dst_tracks[j]
+            if tid < 0:
+                # new world point at the src keypoint's world position
+                pw = T_src[:3, :3] @ src_pts[i] + T_src[:3, 3]
+                tid = len(self.world_points)
+                self.world_points.append(pw.astype(np.float32))
+                self._add_observation(src_kf, tid, src_uv[i])
+            if src_tracks[i] < 0:
+                src_tracks[i] = tid
+            if dst_tracks[j] < 0:
+                dst_tracks[j] = tid
+                self._add_observation(dst_kf, tid, dst_uv[j])
+            linked += 1
+        return linked
+
+    def update_frame(self, gray: np.ndarray, depth: np.ndarray) -> dict:
+        fidx = self.frame_count
+        self.frame_count += 1
+        frame = self._extract(gray, depth)
+
+        if fidx == 0:
+            self.keyframe_frames.append(frame)
+            self.keyframe_poses.append(np.eye(4, dtype=np.float32))
+            self.track_of_kp.append(np.full(self.max_keypoints, -1, np.int64))
+            self.state.promote_keyframe(0)
+            self.lcd.insert(frame.kp.desc, frame.valid)
+            self.state.add_frame(np.eye(4), 0, np.eye(4), True)
+            return {"frame": 0, "keyframe": True, "success": True}
+
+        kf_idx = len(self.keyframe_frames) - 1
+        res = self._track(self.keyframe_frames[kf_idx], frame)
+        success = bool(res.success)
+        if not success:
+            for cand in self.lcd.select_candidates(frame.kp.desc, frame.valid, exclude_recent=0):
+                res_c = self._track(self.keyframe_frames[cand], frame)
+                if bool(res_c.success):
+                    kf_idx, res, success = cand, res_c, True
+                    break
+        if not success:
+            last = self.state.poses[-1]
+            self.state.add_frame(last, kf_idx, np.linalg.inv(self.keyframe_poses[kf_idx]) @ last, False)
+            return {"frame": fidx, "keyframe": False, "success": False}
+
+        T_rel = np.linalg.inv(np.asarray(res.T_ts))
+        T_world = self.keyframe_poses[kf_idx] @ T_rel
+        self.state.add_frame(T_world, kf_idx, T_rel, True)
+
+        v = np.asarray(res.corr_valid)
+        uvs_t, _ = self.camera.project(jnp.asarray(np.asarray(res.corr_dst)))
+        disp = average_disparity(
+            np.asarray(self.keyframe_frames[kf_idx].kp.uv), np.asarray(uvs_t), v
+        )
+        if disp < self.keyframe_disparity:
+            return {"frame": fidx, "keyframe": False, "success": True, "disparity": disp}
+
+        new_kf = len(self.keyframe_frames)
+        self.keyframe_frames.append(frame)
+        self.keyframe_poses.append(T_world.astype(np.float32))
+        self.track_of_kp.append(np.full(self.max_keypoints, -1, np.int64))
+        self.state.promote_keyframe(fidx)
+        linked = self._link_tracks(kf_idx, new_kf, res)
+
+        for cand in self.lcd.select_candidates(frame.kp.desc, frame.valid):
+            if cand == kf_idx:
+                continue
+            res_c = self._track(self.keyframe_frames[cand], frame)
+            if bool(res_c.success):
+                self._link_tracks(cand, new_kf, res_c)
+
+        self.lcd.insert(frame.kp.desc, frame.valid)
+        if new_kf % self.ba_every == 0:
+            self.optimize()
+        return {"frame": fidx, "keyframe": True, "success": True, "linked": linked}
+
+    def optimize(self, max_iters: int = 10) -> float | None:
+        """Full BA over keyframe poses + world points (ref BASlam.cpp:281-289)."""
+        n_kf = len(self.keyframe_poses)
+        n_pts = len(self.world_points)
+        if n_kf < 2 or n_pts < 8 or len(self.observations) < 24:
+            return None
+        obs = np.array(self.observations)
+        # keep only points with >= 2 observations
+        counts = np.bincount(obs[:, 1].astype(np.int64), minlength=n_pts)
+        keep = counts >= 2
+        remap = np.full(n_pts, -1, np.int64)
+        remap[keep] = np.arange(keep.sum())
+        sel = keep[obs[:, 1].astype(np.int64)]
+        obs = obs[sel]
+        if len(obs) < 24 or keep.sum() < 8:
+            return None
+        frame_idx = obs[:, 0].astype(np.int64)
+        point_idx = remap[obs[:, 1].astype(np.int64)]
+        uv = obs[:, 2:4].astype(np.float32)
+        pts = np.stack(self.world_points)[keep]
+
+        bao = bundle.build_observations(frame_idx, point_idx, uv, int(keep.sum()))
+        T_cw = np.stack([np.linalg.inv(p) for p in self.keyframe_poses]).astype(np.float32)
+        problem = bundle.BAProblem(jnp.asarray(T_cw), jnp.asarray(pts), bao)
+        cam = self.camera
+        opt, mse = bundle.optimize(problem, cam.fx, cam.fy, cam.cx, cam.cy, max_iters=max_iters)
+        T_cw_new = np.asarray(opt.poses)
+        self.keyframe_poses = [np.linalg.inv(T_cw_new[i]).astype(np.float32) for i in range(n_kf)]
+        pts_new = np.asarray(opt.points)
+        kept_ids = np.nonzero(keep)[0]
+        for local, gid in enumerate(kept_ids):
+            self.world_points[gid] = pts_new[local]
+        self.state.update_all_poses(np.stack(self.keyframe_poses))
+        return mse
+
+    def trajectory(self) -> np.ndarray:
+        return self.state.trajectory()

@@ -52,3 +52,23 @@ def test_fba_slam_short_sequence():
     assert ate < 0.06, ate
     assert len(slam.keyframe_frames) >= 2
     assert len(slam.edges) >= len(slam.keyframe_frames) - 1
+
+
+def test_ba_slam_short_sequence():
+    from onepiece_tpu.systems.baslam import BASlam
+
+    frames, gt = render_seq(14)
+    slam = BASlam(CAM, fast_threshold=0.03, keyframe_disparity=10.0)
+    for g, d in frames:
+        info = slam.update_frame(g, d)
+        assert info["success"], info
+    est = slam.trajectory()
+    ate = traj.ate_rmse(est, gt)
+    # 2D-reprojection BA (like the reference's BundleAdjustment) cannot fix
+    # the scale drift of the pixel-quantised sparse odometry chain at this
+    # tiny test resolution; the bound reflects the odometry floor.
+    assert ate < 0.15, ate
+    assert len(slam.world_points) > 20
+    # BA ran and produced a finite reprojection error
+    mse = slam.optimize()
+    assert mse is None or mse < 25.0, mse
