@@ -52,49 +52,30 @@ def main() -> None:
         frames.append((d, g))
     jax.block_until_ready(frames[-1])
 
-    vol = TSDFVolume(voxel_size=0.0125, truncation=0.1, capacity=8192)
+    from onepiece_tpu.systems.pipeline import PipelinedDenseFusion
 
-    def step(prev_pyr, pyr, prev_rel, depth, gray, pose_world):
-        res = dense.dense_tracking(prev_pyr, pyr, cam, init_T=prev_rel)
-        d_f = bilateral_filter(depth)
-        rgb = jnp.stack([gray, gray, gray], -1)
-        vol.integrate(d_f, rgb, pose_world, cam)
-        return res
+    # warmup/compile: run the full pipeline once
+    warm = PipelinedDenseFusion(cam, volume_capacity=8192)
+    for d, g in frames[:3]:
+        warm.process_frame(g, d)
+    warm.finalize()
 
-    # warmup/compile: run two frames through the full pipeline
-    pyr0 = dense.preprocess_frame(frames[0][1], frames[0][0], cam)
-    pyr1 = dense.preprocess_frame(frames[1][1], frames[1][0], cam)
-    res = step(pyr0, pyr1, jnp.eye(4), frames[1][0], frames[1][1], jnp.eye(4))
-    jax.block_until_ready(res)
-    # rebuild the volume so timing starts clean (but compiled)
-    vol = TSDFVolume(voxel_size=0.0125, truncation=0.1, capacity=8192)
-
-    # timed: full per-frame pipeline — preprocess + tracking + TSDF fuse
+    # timed: software-pipelined per-frame loop (one fused device program +
+    # async transfers + one-frame-lagged TSDF integration)
+    slam = PipelinedDenseFusion(cam, volume_capacity=8192)
     t0 = time.perf_counter()
-    est_poses = [np.eye(4, dtype=np.float32)]
-    prev_rel = jnp.eye(4)
-    prev_pyr = dense.preprocess_frame(frames[0][1], frames[0][0], cam)
-    t_track = 0.0
-    for i in range(1, n_frames):
-        d, g = frames[i]
-        pyr = dense.preprocess_frame(g, d, cam)
-        tt = time.perf_counter()
-        res = dense.dense_tracking(prev_pyr, pyr, cam, init_T=prev_rel)
-        jax.block_until_ready(res.T_ts)
-        t_track += time.perf_counter() - tt
-        T_world = est_poses[-1] @ np.asarray(se3.inverse_T(res.T_ts))
-        est_poses.append(T_world)
-        d_f = bilateral_filter(d)
-        vol.integrate(d_f, jnp.stack([g, g, g], -1), jnp.asarray(T_world), cam)
-        prev_pyr = pyr
-        prev_rel = res.T_ts
-    jax.block_until_ready(vol.sdf)
+    for d, g in frames:
+        slam.process_frame(g, d)
+    est_poses, rmses = slam.finalize()
+    jax.block_until_ready(slam.volume.sdf)
     dt = time.perf_counter() - t0
-    fps = (n_frames - 1) / dt
+    fps = n_frames / dt
+    vol = slam.volume
+    t_track = dt / n_frames  # pipeline is fused; per-stage split not observable
 
     from onepiece_tpu.io import trajectory as traj
 
-    ate = traj.ate_rmse(np.stack(est_poses), poses)
+    ate = traj.ate_rmse(est_poses, poses)
     base = _baseline()
     base_fps = float(base.get("dense_odometry_tsdf_fps_cpu", 1.0))
     print(

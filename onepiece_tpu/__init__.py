@@ -39,3 +39,18 @@ import jax as _jax
 # explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persist compiled executables across processes: compiles through the
+# remote-TPU tunnel cost minutes, and every CLI/bench invocation is a fresh
+# process. Harmless on CPU.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "ONEPIECE_COMPILE_CACHE", _os.path.expanduser("~/.cache/onepiece_tpu_xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is an optimisation only
+    pass
+

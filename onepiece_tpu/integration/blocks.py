@@ -123,6 +123,39 @@ class TSDFVolume:
 
     # -- per-frame integration -------------------------------------------
 
+    def integrate_prepared(
+        self,
+        depth: jax.Array,
+        rgb: jax.Array | None,
+        T_wc: jax.Array,
+        camera: PinholeCamera,
+        coords: "np.ndarray",
+    ) -> int:
+        """Integrate with block coords already on host (pipelined path).
+
+        The caller computed `touched_block_keys` on device and fetched them
+        asynchronously (hiding the host-sync latency behind other work);
+        this method only allocates + launches the update.
+        """
+        self.allocate(coords)
+        if rgb is None:
+            rgb = jnp.zeros(depth.shape + (3,), jnp.float32)
+        T_cw = jnp.linalg.inv(jnp.asarray(T_wc, jnp.float32))
+        slots = np.array([self.slot_of[tuple(c)] for c in coords], np.int64)
+        bucket = 4096
+        while bucket < len(slots):
+            bucket *= 2
+        slots_p = np.full(bucket, self.capacity, np.int64)
+        slots_p[: len(slots)] = slots
+        self.sdf, self.weight, self.color = _integrate_slots(
+            self.sdf, self.weight, self.color,
+            jnp.asarray(self.block_coords, jnp.int32),
+            jnp.asarray(slots_p), depth, rgb, T_cw,
+            camera.fx, camera.fy, camera.cx, camera.cy,
+            self.voxel_size, self.truncation, self.max_weight,
+        )
+        return self.num_active
+
     def integrate(
         self,
         depth: jax.Array,
