@@ -57,7 +57,7 @@ def _integrate_slots(
     w_g = weight[safe].reshape(m, -1)
     c_g = color[safe].reshape(m, -1, 3)
     bc_g = block_coords[safe]
-    sdf_n, w_n, c_n = tsdf_ops.integrate_blocks(
+    sdf_n, w_n, c_n = tsdf_ops.integrate_blocks_matmul(
         sdf_g, w_g, c_g, bc_g, active, depth, rgb, T_cw,
         fx, fy, cx, cy, voxel_size, truncation, max_weight,
     )
