@@ -90,6 +90,24 @@ int main(int argc, char **argv) {
   }
   printf("dense_odometry_fps_cpu: %.3f\n", tracked / tracking_s);
 
+  // chain relative poses into a trajectory for ATE evaluation
+  {
+    std::vector<Eigen::Matrix4f> traj;
+    traj.push_back(Eigen::Matrix4f::Identity());
+    for (size_t i = 1; i < frames.size(); ++i) {
+      geometry::TransformationMatrix T =
+          geometry::TransformationMatrix::Identity();
+      auto r = odom.DenseTracking(frames[i - 1], frames[i], T, 0);
+      Eigen::Matrix4f rel = r->T.cast<float>();
+      traj.push_back(traj.back() * rel.inverse());
+    }
+    std::ofstream ofs(root + "/ref_trajectory.txt");
+    for (auto &T : traj) {
+      for (int k = 0; k < 16; ++k) ofs << T(k / 4, k % 4) << (k == 15 ? "\n" : " ");
+    }
+    printf("wrote %s/ref_trajectory.txt\n", root.c_str());
+  }
+
   // read GT poses (TUM format) for a realistic integration workload
   std::vector<Eigen::Matrix4f> gt;
   {

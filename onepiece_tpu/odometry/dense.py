@@ -249,13 +249,41 @@ def _track_level_prewarp(
     _, _, uv0f = project(T0)
     stack6, stack_valid, uv0i = _nearest_prewarp(tgt_gray, tgt_depth, uv0f)
 
+    # Spatial Jacobian of the pre-warp map, J_w = d(uv0f)/d(x): sampling the
+    # pre-warped stack at x + delta reads the target near
+    # uv0f(x) + J_w delta, so the GN displacement must be corrected by
+    # J_w^{-1} — without it, a non-identity base pose (e.g. previous-frame
+    # init) biases the sampled gradients and the tracker drifts.
+    def _grad_xy(f):
+        gx = jnp.zeros_like(f).at[:, 1:-1].set((f[:, 2:] - f[:, :-2]) * 0.5)
+        gy = jnp.zeros_like(f).at[1:-1, :].set((f[2:, :] - f[:-2, :]) * 0.5)
+        return gx, gy
+
+    a11, a12 = _grad_xy(uv0f[..., 0])  # du0/dx, du0/dy
+    a21, a22 = _grad_xy(uv0f[..., 1])  # dv0/dx, dv0/dy
+    detJ = a11 * a22 - a12 * a21
+    # fall back to identity where the warp map is degenerate (invalid depth,
+    # depth discontinuities)
+    ok_j = (jnp.abs(detJ) > 0.25) & (jnp.abs(detJ) < 4.0)
+    inv_det = jnp.where(ok_j, 1.0 / jnp.where(ok_j, detJ, 1.0), 1.0)
+    j11 = jnp.where(ok_j, a22 * inv_det, 1.0)
+    j12 = jnp.where(ok_j, -a12 * inv_det, 0.0)
+    j21 = jnp.where(ok_j, -a21 * inv_det, 0.0)
+    j22 = jnp.where(ok_j, a11 * inv_det, 1.0)
+
     lam = jnp.float32(lambda_depth)
     ddm = jnp.float32(DEPTH_DIFF_MAX)
 
     def body(_, carry):
         T, _c, _n = carry
         p, z, uv = project(T)
-        d = jnp.stack([uv[..., 0] - uv0i[..., 0], uv[..., 1] - uv0i[..., 1]])
+        # displacement in the pre-warped frame: J_w^{-1} (uv - uv0f),
+        # plus the sub-pixel offset the nearest rounding introduced
+        ru = uv[..., 0] - uv0f[..., 0]
+        rv = uv[..., 1] - uv0f[..., 1]
+        du = j11 * ru + j12 * rv + (uv0f[..., 0] - uv0i[..., 0])
+        dv = j21 * ru + j22 * rv + (uv0f[..., 1] - uv0i[..., 1])
+        d = jnp.stack([du, dv])
         vals, ok = warp_ops.stencil_sample(stack6, stack_valid, d, radius)
         g, gx, gy, zt, ztx, zty = (vals[i] for i in range(6))
         r_i = g - src_gray

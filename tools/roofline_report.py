@@ -112,7 +112,17 @@ def main():
         jnp.eye(4), cam.fx, cam.fy, cam.cx, cam.cy, 0.0125, 0.1, n=10,
     )
     nvox = B * 512
-    report("tsdf_integrate (4096 blocks)", t, nvox * 60, nvox * (8 * 4 + 16))
+    report("tsdf_integrate gather (4096 blocks)", t, nvox * 60, nvox * (8 * 4 + 16))
+
+    t = bench(
+        tsdf_ops.integrate_blocks_matmul, sdf, wgt, col, coords, active, d0, rgb,
+        jnp.eye(4), cam.fx, cam.fy, cam.cx, cam.cy, 0.0125, 0.1, n=10,
+    )
+    # one-hot contractions dominate: V x rows x cols-ish window MACs
+    report(
+        "tsdf_integrate matmul (4096 blocks)", t,
+        B * 512 * 128 * (128 + 4) * 2, nvox * (8 * 4 + 16) + B * 512 * 128 * 4 * 4,
+    )
 
     # --- ICP iteration: brute-force NN over 20k x 20k --------------------
     pts = jnp.asarray(rng.normal(size=(20000, 3)), jnp.float32)
