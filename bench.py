@@ -52,26 +52,27 @@ def main() -> None:
         frames.append((d, g))
     jax.block_until_ready(frames[-1])
 
-    from onepiece_tpu.systems.pipeline import PipelinedDenseFusion
+    from onepiece_tpu.systems.fused_slam import FusedDenseFusion
+
+    RADII = (4, 3, 2)  # multi-scale stencil radii (ATE-validated vs (8,4,4))
 
     # warmup/compile: run the full pipeline once
-    warm = PipelinedDenseFusion(cam, volume_capacity=8192)
+    warm = FusedDenseFusion(cam, radii=RADII)
     for d, g in frames[:3]:
         warm.process_frame(g, d)
     warm.finalize()
 
-    # timed: software-pipelined per-frame loop (one fused device program +
-    # async transfers + one-frame-lagged TSDF integration)
-    slam = PipelinedDenseFusion(cam, volume_capacity=8192)
+    # timed: fully device-resident loop — track + hash-allocate + TSDF fuse
+    # in ONE dispatch per frame, zero host syncs inside the loop
+    slam = FusedDenseFusion(cam, radii=RADII)
     t0 = time.perf_counter()
     for d, g in frames:
         slam.process_frame(g, d)
     est_poses, rmses = slam.finalize()
-    jax.block_until_ready(slam.volume.sdf)
+    jax.block_until_ready(slam._state.vox)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
-    vol = slam.volume
-    t_track = dt / n_frames  # pipeline is fused; per-stage split not observable
+    t_track = dt / n_frames  # loop is fused; per-stage split not observable
 
     from onepiece_tpu.io import trajectory as traj
 
@@ -90,7 +91,8 @@ def main() -> None:
                     "tracking_ms_per_frame": round(t_track / (n_frames - 1) * 1e3, 2),
                     "frames": n_frames,
                     "resolution": "640x480",
-                    "active_blocks": vol.num_active,
+                    "active_blocks": slam.num_active,
+                    "block_overflow": slam.overflow,
                     "baseline_fps_cpu": base_fps,
                 },
             }

@@ -1,0 +1,241 @@
+"""Fully device-resident dense SLAM: track + allocate + fuse in ONE dispatch.
+
+Round-1's pipelined loop (`systems/pipeline.py`) still crossed the
+host<->device boundary once per frame to uniquify touched block keys and
+assign pool slots — and on a remote-attached chip one blocking round-trip
+costs ~35 ms. This module closes the loop entirely on device:
+
+  frame step (one jitted program, donated state, zero syncs):
+    1. preprocess_frame            — pyramids + XYZ backprojection
+    2. dense_tracking              — multi-scale GN (odometry/dense.py)
+    3. pose chain                  — T_w_cur = T_w_prev @ inv(T_ts)
+    4. bilateral depth filter      — (ref: DenseFusion.cpp:64-110 pre-fuse)
+    5. touched_block_keys          — unique packed keys in the trunc band
+    6. device_hash.insert          — pool slots, allocating new blocks
+    7. integrate_slots_pallas      — in-place TSDF update of the pool
+
+The host dispatches one step per frame and keeps only device references
+(poses, rmse); everything is fetched once at `finalize`. Replaces the
+reference's per-frame `PrepareCubes` host allocation
+(ref: src/Integration/CubeHandler.cpp:147-210) with a device-resident
+open-addressing hash (integration/device_hash.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from ..geometry.camera import PinholeCamera
+from ..integration import device_hash as dh
+from ..integration.blocks import TSDFVolume
+from ..odometry import dense
+from ..ops import tsdf as tsdf_ops
+from ..ops import tsdf_pallas as tp
+from ..ops.image import bilateral_filter
+
+
+class FusedState(NamedTuple):
+    pyr: dense.FramePyramid  # previous frame's pyramid
+    T_w: jax.Array  # (4, 4) world-from-previous-camera
+    rel: jax.Array  # (4, 4) last relative pose (constant-velocity init)
+    table: dh.BlockHashTable
+    vox: jax.Array  # (capacity+1, 5, 512) pool; last row trash
+
+
+class FrameOut(NamedTuple):
+    T_w: jax.Array
+    rmse: jax.Array
+    num_inliers: jax.Array
+
+
+def _integrate(
+    vox, table, depth_f, rgb, T_w, camera, voxel_size, truncation, kmax,
+    stride, max_weight, interpret,
+):
+    keys = tsdf_ops.touched_block_keys(
+        depth_f, T_w, camera.fx, camera.fy, camera.cx, camera.cy,
+        voxel_size, truncation, max_blocks=kmax, stride=stride,
+    )
+    table, slots = dh.insert(table, keys)
+    cap = vox.shape[0] - 1
+    slots_safe = jnp.where(slots < 0, cap, slots).astype(jnp.int32)
+    img5 = tp.pack_image(depth_f, rgb)
+    T_cw = se3.inverse_T(T_w)
+    vox = tp.integrate_slots_pallas(
+        vox, keys, slots_safe, img5, T_cw,
+        camera.fx, camera.fy, camera.cx, camera.cy,
+        voxel_size, truncation, max_weight, interpret=interpret,
+    )
+    return vox, table
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera", "voxel_size", "truncation", "kmax", "stride", "max_weight",
+        "iters", "radii", "interpret",
+    ),
+    donate_argnums=(0,),
+)
+def fused_frame_step(
+    state: FusedState,
+    gray: jax.Array,
+    depth: jax.Array,
+    rgb: jax.Array,
+    camera: PinholeCamera,
+    voxel_size: float,
+    truncation: float,
+    kmax: int = 4096,
+    stride: int = 6,
+    max_weight: float = 100.0,
+    iters: tuple[int, ...] = dense.DEFAULT_ITERS,
+    radii: tuple[int, ...] = (8, 4, 4),
+    interpret: bool = False,
+) -> tuple[FusedState, FrameOut]:
+    """One frame of tracking + fusion, entirely on device."""
+    pyr = dense.preprocess_frame(gray, depth, camera)
+    res = dense.dense_tracking(
+        state.pyr, pyr, camera, init_T=state.rel, iters=iters, radii=radii
+    )
+    T_w = state.T_w @ se3.inverse_T(res.T_ts)
+    d_f = bilateral_filter(depth)
+    vox, table = _integrate(
+        state.vox, state.table, d_f, rgb, T_w, camera,
+        voxel_size, truncation, kmax, stride, max_weight, interpret,
+    )
+    return (
+        FusedState(pyr, T_w, res.T_ts, table, vox),
+        FrameOut(T_w, res.rmse, res.num_inliers),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera", "voxel_size", "truncation", "capacity", "table_size",
+        "kmax", "stride", "max_weight", "interpret",
+    ),
+)
+def fused_init_step(
+    gray: jax.Array,
+    depth: jax.Array,
+    rgb: jax.Array,
+    camera: PinholeCamera,
+    voxel_size: float,
+    truncation: float,
+    capacity: int,
+    table_size: int,
+    kmax: int = 4096,
+    stride: int = 6,
+    max_weight: float = 100.0,
+    interpret: bool = False,
+) -> FusedState:
+    """Frame 0: build pyramids, allocate the pool, fuse at identity."""
+    pyr = dense.preprocess_frame(gray, depth, camera)
+    table = dh.make_table(table_size, capacity)
+    vox = tp.make_pool(capacity)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    d_f = bilateral_filter(depth)
+    vox, table = _integrate(
+        vox, table, d_f, rgb, eye, camera,
+        voxel_size, truncation, kmax, stride, max_weight, interpret,
+    )
+    return FusedState(pyr, eye, eye, table, vox)
+
+
+@dataclasses.dataclass
+class FusedDenseFusion:
+    """Host driver: dense VO + TSDF fusion with zero per-frame syncs.
+
+    Drop-in upgrade of `systems.pipeline.PipelinedDenseFusion`; same
+    trajectory semantics (frame-to-frame tracking, constant-velocity init,
+    every-frame integration), but allocation lives on device so the host
+    never blocks inside the loop.
+    """
+
+    camera: PinholeCamera
+    voxel_size: float = 0.0125
+    truncation: float = 0.1
+    capacity: int = 16384
+    table_size: int = 1 << 16
+    kmax: int = 4096
+    stride: int = 6
+    iters: tuple[int, ...] = dense.DEFAULT_ITERS
+    radii: tuple[int, ...] = (8, 4, 4)
+    interpret: bool = False
+
+    def __post_init__(self):
+        self._state: FusedState | None = None
+        self._poses: list[jax.Array] = []
+        self._rmses: list[jax.Array] = []
+        self.frame_count = 0
+
+    def process_frame(self, gray, depth, rgb=None) -> None:
+        gray = jnp.asarray(gray, jnp.float32)
+        depth = jnp.asarray(depth, jnp.float32)
+        if rgb is None:
+            rgb = jnp.stack([gray, gray, gray], axis=-1)
+        self.frame_count += 1
+        if self._state is None:
+            st = fused_init_step(
+                gray, depth, rgb, self.camera, self.voxel_size,
+                self.truncation, self.capacity, self.table_size,
+                self.kmax, self.stride, interpret=self.interpret,
+            )
+            # T_w and rel are both identity: give them distinct buffers, or
+            # the next step's donation deletes one while passing the other
+            eye = jnp.asarray(np.eye(4, dtype=np.float32))
+            self._state = st._replace(
+                T_w=eye, rel=jnp.asarray(np.eye(4, dtype=np.float32))
+            )
+            self._poses.append(jnp.asarray(np.eye(4, dtype=np.float32)))
+            self._rmses.append(jnp.float32(0.0))
+            return
+        self._state, out = fused_frame_step(
+            self._state, gray, depth, rgb, self.camera,
+            self.voxel_size, self.truncation, self.kmax, self.stride,
+            iters=self.iters, radii=self.radii, interpret=self.interpret,
+        )
+        # out.T_w shares a buffer with the state leaf that gets DONATED next
+        # frame — keep a private copy so finalize() can still read it
+        self._poses.append(out.T_w.copy())
+        self._rmses.append(out.rmse.copy())
+
+    def finalize(self):
+        """One sync: fetch trajectory + rmse. Returns (poses, rmses)."""
+        poses = np.asarray(jnp.stack(self._poses))
+        rmses = np.asarray(jnp.stack(self._rmses))
+        return poses, rmses
+
+    @property
+    def num_active(self) -> int:
+        return int(self._state.table.num_active) if self._state else 0
+
+    @property
+    def overflow(self) -> int:
+        return int(self._state.table.overflow) if self._state else 0
+
+    def to_volume(self) -> TSDFVolume:
+        """Export the device pool as a host-indexed TSDFVolume (for meshing,
+        checkpointing, submap merge — one transfer, post-loop)."""
+        st = self._state
+        assert st is not None
+        sdf, weight, color = tp.pool_to_blocks(st.vox)
+        na = int(st.table.num_active)
+        vol = TSDFVolume(
+            voxel_size=self.voxel_size, truncation=self.truncation,
+            capacity=self.capacity,
+        )
+        vol.sdf, vol.weight, vol.color = sdf, weight, color
+        bc = np.asarray(st.table.block_coords[:na])
+        vol.block_coords[:na] = bc
+        vol.slot_of = {tuple(c): i for i, c in enumerate(bc.tolist())}
+        vol.num_active = na
+        return vol

@@ -1,0 +1,191 @@
+"""Tests: device-resident block hash, Pallas TSDF integration, fused SLAM.
+
+Covers the round-2 device-resident fusion path: open-addressing hash
+allocation (integration/device_hash.py), the scatter-free Pallas TSDF
+kernel in interpret mode (ops/tsdf_pallas.py) against the reference-exact
+oracle (ops/tsdf.py:integrate_blocks ~ ref src/Integration/Integrator.cpp:
+36-94), and the fused frame step end-to-end on the synthetic scene.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onepiece_tpu.integration import device_hash as dh
+from onepiece_tpu.ops import tsdf as tsdf_ops
+from onepiece_tpu.ops import tsdf_pallas as tp
+from onepiece_tpu.ops.tsdf import INVALID_KEY
+
+
+def _pack(coords: np.ndarray) -> np.ndarray:
+    c = coords.astype(np.int64) + 512
+    return ((c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]).astype(np.int32)
+
+
+def _pad_keys(keys: np.ndarray, size: int) -> jnp.ndarray:
+    out = np.full(size, int(INVALID_KEY), np.int32)
+    out[: len(keys)] = keys
+    return jnp.asarray(out)
+
+
+class TestDeviceHash:
+    def test_insert_lookup_roundtrip(self):
+        rng = np.random.default_rng(0)
+        tbl = dh.make_table(4096, 1024)
+        coords = np.unique(rng.integers(-40, 40, size=(900, 3)), axis=0)[:600]
+        keys = _pack(coords)
+        tbl, slots = dh.insert(tbl, _pad_keys(keys, 1024))
+        slots = np.asarray(slots)[: len(keys)]
+        assert int(tbl.num_active) == len(keys)
+        assert int(tbl.overflow) == 0
+        # slots are a dense unique range and record the right coords
+        assert sorted(slots.tolist()) == list(range(len(keys)))
+        assert np.array_equal(np.asarray(tbl.block_coords)[slots], coords)
+        # lookup agrees; missing key -> -1
+        lk = np.asarray(dh.lookup(tbl, _pad_keys(keys, 1024)))[: len(keys)]
+        assert np.array_equal(lk, slots)
+        missing = _pack(np.array([[200, 200, 200]]))
+        assert np.asarray(dh.lookup(tbl, _pad_keys(missing, 8)))[0] == -1
+
+    def test_reinsert_preserves_slots(self):
+        rng = np.random.default_rng(1)
+        tbl = dh.make_table(4096, 1024)
+        coords = np.unique(rng.integers(-20, 20, size=(300, 3)), axis=0)[:200]
+        keys = _pack(coords)
+        tbl, s1 = dh.insert(tbl, _pad_keys(keys, 256))
+        extra = _pack(np.array([[100, 100, 100], [101, 100, 100]]))
+        tbl, s2 = dh.insert(tbl, _pad_keys(np.concatenate([keys, extra]), 256))
+        assert np.array_equal(np.asarray(s1)[:200], np.asarray(s2)[:200])
+        assert int(tbl.num_active) == 202
+
+    def test_pool_overflow_counted(self):
+        rng = np.random.default_rng(2)
+        tbl = dh.make_table(8192, 256)
+        coords = np.unique(rng.integers(-60, 60, size=(2000, 3)), axis=0)[:500]
+        tbl, slots = dh.insert(tbl, _pad_keys(_pack(coords), 512))
+        assert int(tbl.num_active) == 256
+        assert int(tbl.overflow) == 244
+        s = np.asarray(slots)[:500]
+        assert (s >= 0).sum() == 256
+
+    def test_contended_incremental_inserts_stay_consistent(self):
+        rng = np.random.default_rng(3)
+        tbl = dh.make_table(512, 512)
+        all_coords = np.unique(rng.integers(-4, 4, size=(4000, 3)), axis=0)
+        rng.shuffle(all_coords)
+        seen: dict[tuple, int] = {}
+        for i in range(0, 350, 50):
+            cc = all_coords[i : i + 50]
+            tbl, ss = dh.insert(tbl, _pad_keys(_pack(cc), 64))
+            for c, sl in zip(map(tuple, cc), np.asarray(ss)[: len(cc)]):
+                if sl >= 0:
+                    assert seen.get(c, sl) == sl, "slot changed across inserts"
+                    seen[c] = int(sl)
+        vals = list(seen.values())
+        assert len(set(vals)) == len(vals), "duplicate slots"
+        kall = _pack(np.array(list(seen.keys())))
+        lk = np.asarray(dh.lookup(tbl, _pad_keys(kall, 512)))[: len(kall)]
+        assert np.array_equal(lk, np.array(vals))
+
+
+class TestPallasIntegrate:
+    @pytest.fixture()
+    def frame(self):
+        rng = np.random.default_rng(1)
+        h, w = 480, 640
+        fx, fy, cx, cy = 525.0, 525.0, 319.5, 239.5
+        v, u = np.mgrid[0:h, 0:w]
+        depth = (1.5 + 0.3 * (u / w) + 0.2 * (v / h)).astype(np.float32)
+        depth[100:120, 200:260] = 0.0
+        rgb = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        zs = depth[::40, ::40].reshape(-1)
+        us = u[::40, ::40].reshape(-1)
+        vs = v[::40, ::40].reshape(-1)
+        pts = np.stack([(us - cx) / fx * zs, (vs - cy) / fy * zs, zs], -1)
+        bc = np.unique(np.floor(pts / 0.1).astype(np.int32), axis=0)[:64]
+        return depth, rgb, bc, (fx, fy, cx, cy)
+
+    def test_matches_reference_oracle(self, frame):
+        depth, rgb, bc, (fx, fy, cx, cy) = frame
+        rng = np.random.default_rng(2)
+        nb = len(bc)
+        sdf0 = np.full((nb, 512), 2.0, np.float32)
+        w0 = rng.uniform(0, 3, (nb, 512)).astype(np.float32)
+        w0[:, ::7] = 0.0
+        col0 = rng.uniform(0, 1, (nb, 512, 3)).astype(np.float32)
+        T_cw = np.eye(4, dtype=np.float32)
+        s1, w1, c1 = tsdf_ops.integrate_blocks(
+            jnp.asarray(sdf0), jnp.asarray(w0), jnp.asarray(col0),
+            jnp.asarray(bc), jnp.ones(nb, bool), jnp.asarray(depth),
+            jnp.asarray(rgb), jnp.asarray(T_cw),
+            fx, fy, cx, cy, 0.0125, 0.1,
+        )
+        vox = np.zeros((nb + 1, 5, 512), np.float32)
+        vox[:nb, 0] = sdf0
+        vox[:nb, 1] = w0
+        vox[:nb, 2:5] = np.moveaxis(col0, -1, 1)
+        vox[nb, 0] = tsdf_ops.EMPTY_SDF
+        slots = np.full(128, nb, np.int32)
+        slots[:nb] = np.arange(nb)
+        keys = np.zeros(128, np.int32)
+        keys[:nb] = _pack(bc)
+        img5 = tp.pack_image(jnp.asarray(depth), jnp.asarray(rgb))
+        out = np.asarray(
+            tp.integrate_slots_pallas(
+                jnp.asarray(vox), jnp.asarray(keys), jnp.asarray(slots), img5,
+                jnp.asarray(T_cw), fx, fy, cx, cy, 0.0125, 0.1, interpret=True,
+            )
+        )
+        upd = np.asarray(w1) != w0
+        assert upd.sum() > 10000, "fixture must exercise real updates"
+        # weights exact; sdf within the bf16 hi/lo depth split (~1e-4 norm);
+        # color within one bf16 ulp
+        assert np.array_equal(np.asarray(w1), out[:nb, 1])
+        assert np.abs(np.asarray(s1) - out[:nb, 0]).max() < 5e-4
+        c2 = np.moveaxis(out[:nb, 2:5], 1, -1)
+        assert np.abs(np.asarray(c1) - c2).max() < 5e-3
+        # trash row untouched semantics: padding slots wrote only row nb
+        assert np.abs(out[: nb, :2]).max() < 1000
+
+    def test_pool_roundtrip_layout(self):
+        vox = tp.make_pool(4)
+        sdf, weight, color = tp.pool_to_blocks(vox)
+        assert sdf.shape == (4, 8, 8, 8)
+        assert float(sdf[0, 0, 0, 0]) == tsdf_ops.EMPTY_SDF
+        assert float(weight.max()) == 0.0
+        assert color.shape == (4, 8, 8, 8, 3)
+
+
+class TestFusedSLAM:
+    def test_fused_two_frames_synthetic(self):
+        from onepiece_tpu.geometry.camera import TUM_CAMERA
+        from onepiece_tpu.systems.fused_slam import FusedDenseFusion
+        from onepiece_tpu.utils import synthetic
+
+        cam = TUM_CAMERA.pyramid(3)[-1]  # 160x120 for CPU test speed
+        scene = synthetic.default_scene()
+        poses = synthetic.orbit_trajectory(16)[:3]  # 16-frame spacing: small steps
+        slam = FusedDenseFusion(
+            cam, capacity=8192, table_size=1 << 14, kmax=1024, stride=2,
+            interpret=True,
+        )
+        for i in range(3):
+            d, g = synthetic.render(
+                scene, jnp.asarray(poses[i]), cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.height, cam.width, num_steps=48,
+            )
+            slam.process_frame(g, d)
+        est, rmses = slam.finalize()
+        assert slam.overflow == 0
+        assert slam.num_active > 50
+        from onepiece_tpu.io import trajectory as traj
+
+        ate = traj.ate_rmse(est, poses[:3])
+        assert ate < 0.05, f"fused-pipeline ATE too high: {ate}"
+        vol = slam.to_volume()
+        assert vol.num_active == slam.num_active
+        # fused volume has a meaningful surface: some voxels near zero
+        w = np.asarray(vol.weight)
+        s = np.asarray(vol.sdf)
+        assert (np.abs(s[w > 0]) < 0.5).sum() > 100
