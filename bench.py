@@ -56,11 +56,13 @@ def main() -> None:
 
     RADII = (4, 3, 2)  # multi-scale stencil radii (ATE-validated vs (8,4,4))
 
-    # warmup/compile: run the full pipeline once
+    # warmup/compile: one full pass (first execution of a fresh executable
+    # pays one-time setup through the remote-chip tunnel)
     warm = FusedDenseFusion(cam, radii=RADII)
-    for d, g in frames[:3]:
+    for d, g in frames:
         warm.process_frame(g, d)
     warm.finalize()
+    jax.block_until_ready(warm._state.vox)
 
     # timed: fully device-resident loop — track + hash-allocate + TSDF fuse
     # in ONE dispatch per frame, zero host syncs inside the loop

@@ -51,6 +51,69 @@ def associate(
     return out
 
 
+def _decode_depth16(path: str) -> np.ndarray:
+    """16-bit grayscale PNG via the native decoder; imageio fallback."""
+    try:
+        import ctypes
+
+        from ..native import get_rgbd_lib
+
+        lib = get_rgbd_lib()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ch = ctypes.c_int()
+        bd = ctypes.c_int()
+        if lib.png_probe(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(ch), ctypes.byref(bd)) != 0:
+            raise IOError(path)
+        out = np.empty((h.value, w.value), np.uint16)
+        rc = lib.png_decode_u16(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            w.value, h.value,
+        )
+        if rc != 0:
+            raise IOError(f"{path}: rc={rc}")
+        return out
+    except Exception:  # pragma: no cover
+        import imageio.v2 as imageio
+
+        return np.asarray(imageio.imread(path)).astype(np.uint16)
+
+
+def _decode_rgb(path: str) -> np.ndarray:
+    """8-bit RGB PNG via the native decoder; imageio fallback."""
+    try:
+        import ctypes
+
+        from ..native import get_rgbd_lib
+
+        lib = get_rgbd_lib()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        ch = ctypes.c_int()
+        bd = ctypes.c_int()
+        if lib.png_probe(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(ch), ctypes.byref(bd)) != 0:
+            raise IOError(path)
+        out = np.empty((h.value, w.value, ch.value), np.uint8)
+        rc = lib.png_decode_u8(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            w.value, h.value, ch.value,
+        )
+        if rc != 0:
+            raise IOError(f"{path}: rc={rc}")
+        if ch.value == 1:
+            out = np.repeat(out, 3, axis=-1)
+        return out[..., :3]
+    except Exception:  # pragma: no cover
+        import imageio.v2 as imageio
+
+        img = np.asarray(imageio.imread(path))
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        return img[..., :3].astype(np.uint8)
+
+
 class TumSequence:
     """Iterates (timestamp, rgb (H, W, 3) uint8, depth (H, W) float32 meters)."""
 
@@ -77,14 +140,26 @@ class TumSequence:
         return len(self.pairs)
 
     def __getitem__(self, i):
-        import cv2
-
         ts, rgb_rel, depth_rel = self.pairs[i]
-        bgr = cv2.imread(os.path.join(self.root, rgb_rel), cv2.IMREAD_COLOR)
-        rgb = bgr[:, :, ::-1].copy()
-        d16 = cv2.imread(os.path.join(self.root, depth_rel), cv2.IMREAD_UNCHANGED)
+        rgb = _decode_rgb(os.path.join(self.root, rgb_rel))
+        d16 = _decode_depth16(os.path.join(self.root, depth_rel))
         depth = d16.astype(np.float32) / self.depth_scale
         return ts, rgb, depth
+
+    def stream(self, gray: bool = True, n_threads: int = 2, ring: int = 4):
+        """Prefetching iterator over (depth_m, gray/rgb) via the native C++
+        decoder ring (io/native_loader.py) — decodes frame N+k on host CPUs
+        while frame N's device program runs."""
+        from .native_loader import PrefetchingRGBDLoader
+
+        pairs = [
+            (os.path.join(self.root, d), os.path.join(self.root, r))
+            for _, r, d in self.pairs
+        ]
+        return PrefetchingRGBDLoader(
+            pairs, depth_scale=self.depth_scale, gray=gray,
+            n_threads=n_threads, ring=ring,
+        )
 
     def groundtruth(self):
         """Returns (timestamps, poses (N, 4, 4)) from groundtruth.txt or None."""

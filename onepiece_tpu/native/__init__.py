@@ -50,3 +50,60 @@ def get_lib() -> ctypes.CDLL:
     ]
     _lib = lib
     return lib
+
+
+# -- rgbd_loader: libpng decode + threaded prefetch ring ----------------------
+
+_RGBD_LIB_PATH = os.path.join(_DIR, "librgbd_loader.so")
+_RGBD_SRC = os.path.join(_DIR, "rgbd_loader.cpp")
+
+_rgbd_lib = None
+
+
+def get_rgbd_lib() -> ctypes.CDLL:
+    """Lazy-build + load the native RGB-D loader (see rgbd_loader.cpp)."""
+    global _rgbd_lib
+    if _rgbd_lib is not None:
+        return _rgbd_lib
+    if (
+        not os.path.exists(_RGBD_LIB_PATH)
+        or os.path.getmtime(_RGBD_LIB_PATH) < os.path.getmtime(_RGBD_SRC)
+    ):
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", _RGBD_SRC, "-o", _RGBD_LIB_PATH,
+                "-lpng", "-lz", "-lpthread",
+            ],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(_RGBD_LIB_PATH)
+    c_char_pp = ctypes.POINTER(ctypes.c_char_p)
+    lib.png_probe.restype = ctypes.c_int
+    lib.png_probe.argtypes = [ctypes.c_char_p] + [
+        ctypes.POINTER(ctypes.c_int)
+    ] * 4
+    lib.png_decode_u16.restype = ctypes.c_int
+    lib.png_decode_u16.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.png_decode_u8.restype = ctypes.c_int
+    lib.png_decode_u8.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_create.argtypes = [
+        c_char_pp, c_char_pp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.loader_next.restype = ctypes.c_int
+    lib.loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.loader_destroy.restype = None
+    lib.loader_destroy.argtypes = [ctypes.c_void_p]
+    _rgbd_lib = lib
+    return lib

@@ -48,12 +48,28 @@ def pack_image(depth: jax.Array, rgb: jax.Array) -> jax.Array:
 
     depth = d_hi + d_lo exactly to one bf16 ulp of the residual (~2^-16
     relative), reconstructed in f32 inside the kernel.
+
+    NOTE: the HWC->CHW transpose costs ~13 ms on TPU (lane-crossing
+    relayout). Loaders that can produce channels-first rgb should; gray
+    pipelines should use `pack_image_gray` (no transpose at all).
     """
     d_hi = depth.astype(jnp.bfloat16)
     d_lo = (depth - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.stack(
         [d_hi, d_lo] + [rgb[..., i].astype(jnp.bfloat16) for i in range(3)], axis=0
     )
+
+
+def pack_image_gray(depth: jax.Array, gray: jax.Array) -> jax.Array:
+    """(H, W) depth + (H, W) gray -> (3, H, W) bf16 [d_hi, d_lo, g].
+
+    Transpose-free packing for intensity-only pipelines; the kernel
+    replicates the gray channel into r=g=b at write time. 40% fewer
+    selection matmuls than the 5-channel path.
+    """
+    d_hi = depth.astype(jnp.bfloat16)
+    d_lo = (depth - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([d_hi, d_lo, gray.astype(jnp.bfloat16)], axis=0)
 
 
 def _kernel(
@@ -123,8 +139,9 @@ def _kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (win_r, 1), 0)
     rowmask = (rrel == row_ids).astype(jnp.float32)
 
+    n_img_ch = img_ref.shape[0]  # 5 = [d_hi, d_lo, r, g, b]; 3 = [d_hi, d_lo, g]
     vals = []
-    for ch in range(5):
+    for ch in range(n_img_ch):
         win = img_ref[ch, pl.ds(r0, win_r), pl.ds(c0, win_c)]  # (win_r, win_c)
         # precision must be DEFAULT: the package-global "highest" requests an
         # fp32 contract that Mosaic rejects for bf16 operands — and bf16 is
@@ -152,10 +169,11 @@ def _kernel(
     out_ref[0, 0:1, :] = sdf_out
     out_ref[0, 1:2, :] = w_new
     for ch in range(3):
+        c_px = vals[2 + ch] if n_img_ch == 5 else vals[2]  # gray: r = g = b
         c_old = vox_ref[0, 2 + ch : 3 + ch, :]
         c_safe = jnp.where(w_old > 0, c_old, 0.0)
         out_ref[0, 2 + ch : 3 + ch, :] = jnp.where(
-            upd, (c_safe * w_old + vals[2 + ch]) * denom, c_old
+            upd, (c_safe * w_old + c_px) * denom, c_old
         )
 
 

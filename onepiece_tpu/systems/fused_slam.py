@@ -56,17 +56,23 @@ class FrameOut(NamedTuple):
 
 
 def _integrate(
-    vox, table, depth_f, rgb, T_w, camera, voxel_size, truncation, kmax,
-    stride, max_weight, interpret,
+    vox, table, depth_f, gray, rgb, T_w, camera, voxel_size, truncation,
+    kmax, stride, max_weight, interpret, claim_rounds,
 ):
     keys = tsdf_ops.touched_block_keys(
         depth_f, T_w, camera.fx, camera.fy, camera.cx, camera.cy,
         voxel_size, truncation, max_blocks=kmax, stride=stride,
     )
-    table, slots = dh.insert(table, keys)
+    # steady state uses ONE claim round: a same-cell allocation race loses
+    # at most a handful of NEW blocks to next frame's retry, while each
+    # extra round costs ~1 ms of scatter launches
+    table, slots = dh.insert(table, keys, claim_rounds=claim_rounds)
     cap = vox.shape[0] - 1
     slots_safe = jnp.where(slots < 0, cap, slots).astype(jnp.int32)
-    img5 = tp.pack_image(depth_f, rgb)
+    if rgb is None:
+        img5 = tp.pack_image_gray(depth_f, gray)  # transpose-free
+    else:
+        img5 = tp.pack_image(depth_f, rgb)
     T_cw = se3.inverse_T(T_w)
     vox = tp.integrate_slots_pallas(
         vox, keys, slots_safe, img5, T_cw,
@@ -88,7 +94,7 @@ def fused_frame_step(
     state: FusedState,
     gray: jax.Array,
     depth: jax.Array,
-    rgb: jax.Array,
+    rgb: jax.Array | None,
     camera: PinholeCamera,
     voxel_size: float,
     truncation: float,
@@ -107,8 +113,9 @@ def fused_frame_step(
     T_w = state.T_w @ se3.inverse_T(res.T_ts)
     d_f = bilateral_filter(depth)
     vox, table = _integrate(
-        state.vox, state.table, d_f, rgb, T_w, camera,
+        state.vox, state.table, d_f, gray, rgb, T_w, camera,
         voxel_size, truncation, kmax, stride, max_weight, interpret,
+        claim_rounds=1,
     )
     return (
         FusedState(pyr, T_w, res.T_ts, table, vox),
@@ -126,7 +133,7 @@ def fused_frame_step(
 def fused_init_step(
     gray: jax.Array,
     depth: jax.Array,
-    rgb: jax.Array,
+    rgb: jax.Array | None,
     camera: PinholeCamera,
     voxel_size: float,
     truncation: float,
@@ -137,15 +144,21 @@ def fused_init_step(
     max_weight: float = 100.0,
     interpret: bool = False,
 ) -> FusedState:
-    """Frame 0: build pyramids, allocate the pool, fuse at identity."""
+    """Frame 0: build pyramids, allocate the pool, fuse at identity.
+
+    The bulk insert of a whole frustum's blocks into an empty table sees
+    real allocation contention, so it gets generous claim rounds (one-time
+    cost at startup).
+    """
     pyr = dense.preprocess_frame(gray, depth, camera)
     table = dh.make_table(table_size, capacity)
     vox = tp.make_pool(capacity)
     eye = jnp.eye(4, dtype=jnp.float32)
     d_f = bilateral_filter(depth)
     vox, table = _integrate(
-        vox, table, d_f, rgb, eye, camera,
+        vox, table, d_f, gray, rgb, eye, camera,
         voxel_size, truncation, kmax, stride, max_weight, interpret,
+        claim_rounds=12,
     )
     return FusedState(pyr, eye, eye, table, vox)
 
@@ -178,10 +191,11 @@ class FusedDenseFusion:
         self.frame_count = 0
 
     def process_frame(self, gray, depth, rgb=None) -> None:
+        """rgb=None uses the transpose-free gray packing (r=g=b=gray)."""
         gray = jnp.asarray(gray, jnp.float32)
         depth = jnp.asarray(depth, jnp.float32)
-        if rgb is None:
-            rgb = jnp.stack([gray, gray, gray], axis=-1)
+        if rgb is not None:
+            rgb = jnp.asarray(rgb, jnp.float32)
         self.frame_count += 1
         if self._state is None:
             st = fused_init_step(

@@ -58,11 +58,9 @@ def load_frames(args):
     gt = seq.groundtruth()
 
     def gen():
-        for i in range(len(seq)):
-            ts, rgb, depth = seq[i]
-            gray = (
-                0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-            ).astype(np.float32) / 255.0
-            yield ts, gray, depth.astype(np.float32)
+        # native prefetch ring: frame N+k decodes on host CPUs while frame
+        # N's device program runs (io/native_loader.py)
+        for i, (depth, gray) in enumerate(seq.stream(gray=True)):
+            yield seq.pairs[i][0], gray, depth
 
     return gen(), cam, (gt[1] if gt else None)

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""FusedFusion: the production device-resident dense SLAM + TSDF pipeline.
+
+Online variant of tools/dense_fusion.py (ref example/DenseFusion): dense VO
+tracks frame-to-frame while TSDF fusion happens in the SAME device dispatch
+(systems/fused_slam.py) — no post-hoc reintegration pass, zero host syncs
+per frame, native prefetching loader feeding the loop. This is the
+configuration bench.py measures.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    from _common import add_dataset_args, load_frames
+
+    add_dataset_args(ap)
+    ap.add_argument("--out-mesh", type=str, default="fused_mesh.ply")
+    ap.add_argument("--out-traj", type=str, default="fused_trajectory.txt")
+    ap.add_argument("--voxel", type=float, default=0.0125)
+    ap.add_argument("--radii", type=str, default="4,3,2",
+                    help="multi-scale stencil radii coarse->fine")
+    ap.add_argument("--capacity", type=int, default=16384)
+    args = ap.parse_args()
+
+    from onepiece_tpu.io import trajectory as traj
+    from onepiece_tpu.io.ply import dedup_triangle_soup, write_ply_mesh
+    from onepiece_tpu.systems.fused_slam import FusedDenseFusion
+
+    frames, cam, gt = load_frames(args)
+    radii = tuple(int(x) for x in args.radii.split(","))
+    slam = FusedDenseFusion(
+        cam, voxel_size=args.voxel, truncation=args.voxel * 8,
+        capacity=args.capacity, radii=radii,
+    )
+    t0 = time.perf_counter()
+    n = 0
+    for ts, gray, depth in frames:
+        slam.process_frame(gray, depth)
+        n += 1
+    poses, rmses = slam.finalize()
+    dt = time.perf_counter() - t0
+    print(f"fused slam: {n} frames in {dt:.2f}s ({n / dt:.2f} fps), "
+          f"{slam.num_active} blocks, overflow {slam.overflow}")
+    traj.write_matrix_trajectory(args.out_traj, poses)
+    if gt is not None:
+        print(f"ATE RMSE: {traj.ate_rmse(poses, np.asarray(gt)[: len(poses)]):.5f} m")
+
+    t1 = time.perf_counter()
+    vol = slam.to_volume()
+    tv, tc = vol.extract_mesh()
+    verts, faces, cols = dedup_triangle_soup(tv, tc)
+    write_ply_mesh(args.out_mesh, verts, faces, colors=cols)
+    print(f"mesh: {len(verts)} verts {len(faces)} faces in "
+          f"{time.perf_counter() - t1:.2f}s -> {args.out_mesh}")
+
+
+if __name__ == "__main__":
+    main()
