@@ -67,6 +67,37 @@ def _integrate_slots(
     return sdf, weight, color
 
 
+@functools.partial(jax.jit, static_argnames=("voxel_size", "cap"))
+def _extract_all_chunks(
+    sdf_pool, weight_pool, color_pool,  # (P, 8, 8, 8[, 3])
+    idx,  # (n_chunks, chunk) int — pool slots per chunk (0-padded)
+    nbr,  # (n_chunks, chunk, 7) int — neighbour slots (-1 absent)
+    bc,  # (n_chunks, chunk, 3) int32
+    pad_mask,  # (n_chunks, chunk) bool — True = padding row
+    voxel_size: float,
+    cap: int,
+):
+    """Marching cubes + compaction for ALL chunks in one device program."""
+
+    def do_chunk(args):
+        idx_c, nbr_c, bc_c, pad_c = args
+        sdf_c = sdf_pool[idx_c]
+        w_c = jnp.where(pad_c[:, None, None, None], 0.0, weight_pool[idx_c])
+        col_c = color_pool[idx_c]
+        nbr_sdf = mc_ops.gather_neighbors(sdf_pool, nbr_c, tsdf_ops.EMPTY_SDF)
+        nbr_w = mc_ops.gather_neighbors(weight_pool, nbr_c, 0.0)
+        nbr_col = jnp.stack(
+            [mc_ops.gather_neighbors(color_pool[..., i], nbr_c, 0.0) for i in range(3)],
+            axis=-1,
+        )
+        tv, tc, valid = mc_ops.extract_block_triangles(
+            sdf_c, w_c, col_c, nbr_sdf, nbr_w, nbr_col, bc_c, voxel_size
+        )
+        return mc_ops.compact_triangles(tv, tc, valid, cap)
+
+    return jax.lax.map(do_chunk, (idx, nbr, bc, pad_mask))
+
+
 @dataclasses.dataclass
 class TSDFVolume:
     voxel_size: float = DEFAULT_VOXEL_SIZE
@@ -213,44 +244,45 @@ class TSDFVolume:
                 out[i, j] = self.slot_of.get(tuple(base + off), -1)
         return out
 
-    def extract_mesh(self, chunk: int = 128):
+    def extract_mesh(self, chunk: int = 128, cap_per_block: int = 96):
         """Marching cubes over all active blocks -> host (verts, colors) arrays.
 
         Returns (vertices (T, 3, 3) float32, colors (T, 3, 3) float32) of
-        valid triangles, compacted on host. (ref: ExtractTriangleMesh,
-        CubeHandler.cpp:9-44.)
+        valid triangles. (ref: ExtractTriangleMesh, CubeHandler.cpp:9-44.)
+
+        The WHOLE extraction is one jitted program (`lax.map` over block
+        chunks) with device-side compaction, then ONE transfer of the
+        compacted buffers: the remote-chip link moves ~30 MB/s, so the
+        padded per-chunk fetch-and-compact-on-host formulation took minutes
+        where this takes seconds. `cap_per_block` bounds triangles per block
+        (average real-scene occupancy is ~55/block; overfull chunks drop the
+        excess, observable as count == cap).
         """
-        nbr = self._neighbor_slots()
-        verts_out, cols_out = [], []
         na = self.num_active
-        for start in range(0, na, chunk):
-            end = min(start + chunk, na)
-            pad = chunk - (end - start)
-            sl = slice(start, end)
-            idx = np.arange(start, end)
-            idx_p = np.pad(idx, (0, pad), constant_values=0)
-            nbr_c = jnp.asarray(np.pad(nbr[sl], ((0, pad), (0, 0)), constant_values=-1))
-            sdf_c = self.sdf[idx_p]
-            w_c = self.weight[idx_p]
-            col_c = self.color[idx_p]
-            nbr_sdf = mc_ops.gather_neighbors(self.sdf, nbr_c, tsdf_ops.EMPTY_SDF)
-            nbr_w = mc_ops.gather_neighbors(self.weight, nbr_c, 0.0)
-            nbr_col = jnp.stack(
-                [mc_ops.gather_neighbors(self.color[..., i], nbr_c, 0.0) for i in range(3)],
-                axis=-1,
-            )
-            bc = jnp.asarray(np.pad(self.block_coords[sl], ((0, pad), (0, 0))), jnp.int32)
-            tv, tc, valid = mc_ops.extract_block_triangles(
-                sdf_c, w_c, col_c, nbr_sdf, nbr_w, nbr_col, bc,
-                self.voxel_size,
-            )
-            valid_np = np.array(valid)
-            if pad:
-                valid_np[chunk - pad :] = False
-            tvn = np.asarray(tv)[valid_np]
-            tcn = np.asarray(tc)[valid_np]
-            verts_out.append(tvn)
-            cols_out.append(tcn)
-        if not verts_out:
+        if na == 0:
             return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
-        return np.concatenate(verts_out), np.concatenate(cols_out)
+        nbr = self._neighbor_slots()
+        n_chunks = -(-na // chunk)
+        pad_to = n_chunks * chunk
+        idx = np.pad(np.arange(na), (0, pad_to - na), constant_values=0)
+        nbr_p = np.pad(nbr, ((0, pad_to - na), (0, 0)), constant_values=-1)
+        bc_p = np.pad(self.block_coords[:na], ((0, pad_to - na), (0, 0)))
+        pad_mask = np.zeros(pad_to, bool)
+        pad_mask[na:] = True
+        cap = chunk * cap_per_block
+        out_v, out_c, counts = _extract_all_chunks(
+            self.sdf, self.weight, self.color,
+            jnp.asarray(idx.reshape(n_chunks, chunk)),
+            jnp.asarray(nbr_p.reshape(n_chunks, chunk, 7)),
+            jnp.asarray(bc_p.reshape(n_chunks, chunk, 3), jnp.int32),
+            jnp.asarray(pad_mask.reshape(n_chunks, chunk)),
+            self.voxel_size, cap,
+        )
+        for a in (out_v, out_c, counts):
+            a.copy_to_host_async()
+        counts = np.minimum(np.asarray(counts), cap)
+        vs = np.asarray(out_v)
+        cs = np.asarray(out_c)
+        verts = np.concatenate([vs[i, : counts[i]] for i in range(n_chunks)])
+        cols = np.concatenate([cs[i, : counts[i]] for i in range(n_chunks)])
+        return verts, cols

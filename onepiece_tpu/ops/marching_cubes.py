@@ -9,10 +9,11 @@ corner values (the +1 halo the reference fetches from neighbour cubes) are
 gathered from a host-provided neighbour-slot table, so the kernel is pure
 gather + table lookup + interpolation with no data-dependent control flow.
 
-Output is a padded triangle buffer with a validity mask; the host compacts
-and deduplicates vertices when writing the mesh. (Prefix-sum compaction on
-device is a later optimisation; extraction is offline in every reference
-pipeline.)
+Output is a padded triangle buffer with a validity mask. For production
+extraction use `compact_triangles`, which compacts the padded buffer ON
+DEVICE (bounded `jnp.nonzero` + gather) so only real triangles cross the
+host link — the padded buffer is ~24 MB per 128-block chunk, which over a
+remote-chip tunnel dominates extraction wall-clock.
 """
 
 from __future__ import annotations
@@ -31,6 +32,24 @@ NEIGHBOR_OFFSETS = np.array(
     [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
     np.int32,
 )
+
+# Dense one-hot forms of the 256-case triangle table, so the per-voxel
+# emission is pure matmul (a dynamic TRI_TABLE gather + take_along_axis of
+# the 12 edge vertices made XLA's TPU compile blow past 10 MINUTES and run
+# ~125 ms/chunk; the one-hot contraction compiles in seconds and rides the
+# MXU). K = MAX_T*3 vertex slots per voxel.
+#   _SEL[config, k, e] = 1 iff vertex slot k of `config` reads edge e
+#   _VALID[config, t] = 1 iff triangle t exists for `config`
+_K = MAX_TRIS_PER_VOXEL * 3
+_SEL = np.zeros((256, _K, 12), np.float32)
+_VALID = np.zeros((256, MAX_TRIS_PER_VOXEL), np.float32)
+for _cfg in range(256):
+    for _t in range(MAX_TRIS_PER_VOXEL):
+        _e0 = TRI_TABLE[_cfg, _t, 0]
+        if _e0 >= 0:
+            _VALID[_cfg, _t] = 1.0
+            for _v in range(3):
+                _SEL[_cfg, _t * 3 + _v, TRI_TABLE[_cfg, _t, _v]] = 1.0
 
 
 def _halo_grid(values: jax.Array, neighbor_values: jax.Array) -> jax.Array:
@@ -135,14 +154,60 @@ def extract_block_triangles(
     colb = ccolors[..., cb, :]
     edge_color = cola + tpar[..., None] * (colb - cola)
 
-    # triangle emission via table lookup
-    tri_edges = jnp.asarray(TRI_TABLE)[config]  # (B, n, n, n, MAX_T, 3)
-    tri_ok = (tri_edges[..., 0] >= 0) & voxel_ok[..., None]
-    safe_edges = jnp.clip(tri_edges, 0, 11)
-    flat_edges = safe_edges.reshape(b, n, n, n, -1)  # (B,n,n,n,MAX_T*3)
-    tv = jnp.take_along_axis(edge_world, flat_edges[..., None].repeat(3, -1), axis=-2)
-    tc = jnp.take_along_axis(edge_color, flat_edges[..., None].repeat(3, -1), axis=-2)
-    tv = tv.reshape(b, n * n * n, MAX_TRIS_PER_VOXEL, 3, 3)
-    tc = tc.reshape(b, n * n * n, MAX_TRIS_PER_VOXEL, 3, 3)
-    valid = tri_ok.reshape(b, n * n * n, MAX_TRIS_PER_VOXEL)
+    # triangle emission as one-hot contractions (see _SEL/_VALID above):
+    # config -> one-hot (V, 256), then one bf16 matmul picks each vertex
+    # slot's edge selector, and an fp32 contraction over the 12 edges reads
+    # the interpolated positions/colors. Zero dynamic gathers.
+    nv = b * n * n * n
+    cfg_flat = config.reshape(nv, 1)
+    cfg_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    onehot = (cfg_flat == cfg_ids).astype(jnp.bfloat16)  # (V, 256)
+    sel = jax.lax.dot_general(
+        onehot, jnp.asarray(_SEL.reshape(256, _K * 12), jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(nv, _K, 12)  # exact 0/1
+    tri_ok_f = jax.lax.dot_general(
+        onehot, jnp.asarray(_VALID, jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # (V, MAX_T)
+    # fp32 edge reads keep world coordinates at full precision
+    ew = edge_world.reshape(nv, 12, 3)
+    ec = edge_color.reshape(nv, 12, 3)
+    tv = jnp.einsum(
+        "vke,ved->vkd", sel, ew, precision=jax.lax.Precision.HIGHEST
+    ).reshape(b, n * n * n, MAX_TRIS_PER_VOXEL, 3, 3)
+    tc = jnp.einsum(
+        "vke,ved->vkd", sel, ec, precision=jax.lax.Precision.HIGHEST
+    ).reshape(b, n * n * n, MAX_TRIS_PER_VOXEL, 3, 3)
+    valid = (tri_ok_f > 0.5).reshape(b, n, n, n, MAX_TRIS_PER_VOXEL) & voxel_ok[..., None]
+    valid = valid.reshape(b, n * n * n, MAX_TRIS_PER_VOXEL)
     return tv, tc, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def compact_triangles(
+    tv: jax.Array,  # (B, 512, MAX_T, 3, 3)
+    tc: jax.Array,  # (B, 512, MAX_T, 3, 3)
+    valid: jax.Array,  # (B, 512, MAX_T)
+    cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side compaction of the padded triangle buffer.
+
+    Returns (verts (cap, 3, 3), colors (cap, 3, 3), count ()) where rows
+    past `count` are zero. Rows beyond `cap` (overfull chunk) are dropped —
+    callers size `cap` to the chunk's worst case and check the count.
+    """
+    v = valid.reshape(-1)
+    nv = v.shape[0]
+    (idx,) = jnp.nonzero(v, size=cap, fill_value=nv)
+    tvf = tv.reshape(nv, 9)
+    tcf = tc.reshape(nv, 9)
+    ok = idx < nv
+    safe = jnp.minimum(idx, nv - 1)
+    out_v = jnp.where(ok[:, None], tvf[safe], 0.0).reshape(cap, 3, 3)
+    out_c = jnp.where(ok[:, None], tcf[safe], 0.0).reshape(cap, 3, 3)
+    return out_v, out_c, jnp.sum(v.astype(jnp.int32))

@@ -1,0 +1,70 @@
+"""Multi-chip sharding paths on the 8-device virtual CPU mesh.
+
+Covers SURVEY §2.10's scaling axes as pytest (previously only the driver
+dry run exercised them): pixel-sharded dense tracking with psum'd normal
+equations, point-sharded BA Schur psum, block-sharded TSDF integration,
+and the sharded fused (device-hash + Pallas) TSDF step.
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from onepiece_tpu.geometry.camera import TUM_CAMERA
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest)")
+    return Mesh(np.array(devs[:8]), ("d",))
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return TUM_CAMERA.pyramid(3)[-1]  # 160x120
+
+
+def test_dense_tracking_sharded_matches_local(mesh, cam):
+    import jax.numpy as jnp
+
+    from onepiece_tpu.geometry import se3
+    from onepiece_tpu.odometry import dense
+    from onepiece_tpu.parallel import dense as pdense
+    from onepiece_tpu.utils import synthetic
+
+    scene = synthetic.default_scene()
+    T1 = se3.se3_exp(jnp.asarray([0.01, -0.01, 0.015, 0.01, -0.015, 0.008]))
+    d0, g0 = synthetic.render(scene, jnp.eye(4), cam.fx, cam.fy, cam.cx,
+                              cam.cy, cam.height, cam.width, num_steps=32)
+    d1, g1 = synthetic.render(scene, T1, cam.fx, cam.fy, cam.cx, cam.cy,
+                              cam.height, cam.width, num_steps=32)
+    src = dense.preprocess_frame(g0, d0, cam)
+    tgt = dense.preprocess_frame(g1, d1, cam)
+    res_sh = pdense.dense_tracking_sharded(src, tgt, cam, mesh)
+    assert np.isfinite(np.asarray(res_sh.T_ts)).all()
+    # sharding must not change the math: compare against the local
+    # reference-exact tracker (same formulation, same iteration counts)
+    res_local = dense.dense_tracking_exact(src, tgt, cam)
+    err = np.asarray(se3.se3_log(res_sh.T_ts @ np.asarray(se3.inverse_T(res_local.T_ts))))
+    assert np.linalg.norm(err) < 1e-3, err
+
+
+def test_ba_sharded_dryrun(mesh):
+    from onepiece_tpu.parallel import ba
+
+    ba.dryrun(mesh)  # self-checking (asserts convergence + cross-device agreement)
+
+
+def test_tsdf_sharded_dryrun(mesh, cam):
+    from onepiece_tpu.parallel import tsdf
+
+    tsdf.dryrun(mesh, cam)  # self-checking vs local integration
+
+
+def test_fused_sharded_matches_single_device(mesh, cam):
+    from onepiece_tpu.parallel import fused
+
+    fused.dryrun(mesh, cam)  # raises on any mismatch vs single-device pool

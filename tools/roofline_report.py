@@ -124,6 +124,27 @@ def main():
         B * 512 * 128 * (128 + 4) * 2, nvox * (8 * 4 + 16) + B * 512 * 128 * 4 * 4,
     )
 
+    # --- TSDF integrate: Pallas kernel (production path) ------------------
+    from onepiece_tpu.ops import tsdf_pallas as tp
+
+    c512 = np.asarray(coords) + 512
+    keys = jnp.asarray(
+        ((c512[:, 0] << 20) | (c512[:, 1] << 10) | c512[:, 2]).astype(np.int32)
+    )
+    slots = jnp.asarray(np.arange(B, dtype=np.int32))
+    vox = tp.make_pool(B)
+    img3 = tp.pack_image_gray(d0, g0)
+    t = bench(
+        tp.integrate_slots_pallas, vox, keys, slots, img3, jnp.eye(4),
+        cam.fx, cam.fy, cam.cx, cam.cy, 0.0125, 0.1, n=10,
+    )
+    # per block: 3 channel one-hot matmuls (128 x WIN_C) @ (WIN_C x 512)
+    report(
+        "tsdf_integrate pallas (4096 blocks)", t,
+        B * 3 * 2 * 128 * tp.WIN_C * 512,
+        B * (512 * 5 * 4 * 2) + 5 * h * w * 2,
+    )
+
     # --- ICP iteration: brute-force NN over 20k x 20k --------------------
     pts = jnp.asarray(rng.normal(size=(20000, 3)), jnp.float32)
     valid = jnp.ones((20000,), bool)
