@@ -189,3 +189,41 @@ class TestFusedSLAM:
         w = np.asarray(vol.weight)
         s = np.asarray(vol.sdf)
         assert (np.abs(s[w > 0]) < 0.5).sum() > 100
+
+    def test_chunked_matches_per_frame(self):
+        """One-dispatch lax.scan chunk == per-frame dispatch loop exactly."""
+        from onepiece_tpu.geometry.camera import TUM_CAMERA
+        from onepiece_tpu.systems.fused_slam import FusedDenseFusion
+        from onepiece_tpu.utils import synthetic
+
+        cam = TUM_CAMERA.pyramid(3)[-1]
+        scene = synthetic.default_scene()
+        poses = synthetic.orbit_trajectory(16)[:3]
+        frames = [
+            synthetic.render(
+                scene, jnp.asarray(poses[i]), cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.height, cam.width, num_steps=48,
+            )
+            for i in range(3)
+        ]
+        kw = dict(capacity=8192, table_size=1 << 14, kmax=1024, stride=2,
+                  interpret=True)
+        ref = FusedDenseFusion(cam, **kw)
+        for d, g in frames:
+            ref.process_frame(g, d)
+        p_ref, r_ref = ref.finalize()
+
+        chk = FusedDenseFusion(cam, **kw)
+        grays = jnp.stack([g for _, g in frames])
+        depths = jnp.stack([d for d, _ in frames])
+        chk.process_chunk(grays, depths)
+        p_chk, r_chk = chk.finalize()
+
+        assert chk.frame_count == ref.frame_count == 3
+        np.testing.assert_allclose(p_chk, p_ref, atol=1e-6)
+        np.testing.assert_allclose(r_chk, r_ref, atol=1e-6)
+        assert chk.num_active == ref.num_active
+        v_ref, v_chk = ref.to_volume(), chk.to_volume()
+        np.testing.assert_allclose(
+            np.asarray(v_chk.sdf), np.asarray(v_ref.sdf), atol=1e-6
+        )
