@@ -133,24 +133,30 @@ def bilateral_filter(
 ) -> jax.Array:
     """Edge-preserving depth smoothing (ref: ImageProcessing.cpp:64).
 
-    Fixed-window stencil: gathers the (2r+1)^2 neighbourhood via static
-    rolls (vectorised over the full image), weights by spatial Gaussian x
-    value Gaussian, skips invalid (0) depths. This is the pre-integration
-    filter (ref: example/DenseFusion/DenseFusion.cpp bilateral before
+    Fixed-window stencil: each of the (2r+1)^2 taps is a static SLICE of the
+    zero-padded image (XLA fuses the whole FMA chain into one VPU pass — a
+    jnp.roll formulation materialises a concatenate per tap and costs ~3 ms
+    at 640x480 on v5e), weighted by spatial Gaussian x value Gaussian,
+    skipping invalid (0) depths. This is the pre-integration filter
+    (ref: example/DenseFusion/DenseFusion.cpp bilateral before
     IntegrateImage).
     """
+    h, w = depth.shape
+    r = radius
+    padded = jnp.pad(depth, ((r, r), (r, r)))
     acc = jnp.zeros_like(depth)
     wacc = jnp.zeros_like(depth)
     valid_c = depth > 0
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            shifted = jnp.roll(depth, (dy, dx), axis=(0, 1))
+    inv2v = 1.0 / (2 * sigma_value**2)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = padded[r + dy : r + dy + h, r + dx : r + dx + w]
             ok = (shifted > 0) & valid_c
             ws = np.exp(-(dx * dx + dy * dy) / (2 * sigma_space**2))
-            wv = jnp.exp(-((shifted - depth) ** 2) / (2 * sigma_value**2))
-            w = jnp.where(ok, ws * wv, 0.0)
-            acc = acc + w * shifted
-            wacc = wacc + w
+            wv = jnp.exp(-((shifted - depth) ** 2) * inv2v)
+            w_ = jnp.where(ok, ws * wv, 0.0)
+            acc = acc + w_ * shifted
+            wacc = wacc + w_
     out = jnp.where(wacc > 1e-8, acc / jnp.clip(wacc, 1e-8, None), depth)
     return jnp.where(valid_c, out, 0.0)
 

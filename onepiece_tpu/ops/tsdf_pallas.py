@@ -78,7 +78,7 @@ def _kernel(
     keys_ref,  # (K,) int32 in SMEM — packed block keys (SMEM pads 2-D, so 1-D)
     # inputs
     vox_ref,  # (1, 5, 512) f32 — this block's pool row
-    img_ref,  # (5, H, W) bf16 — packed frame (resident across grid)
+    img_ref,  # (5|3, H, W) bf16 packed frame, or (2, H, W) f32 [depth, gray]
     tcw_ref,  # (4, 4) f32 — world-to-camera
     # outputs
     out_ref,  # (1, 5, 512) f32
@@ -139,20 +139,34 @@ def _kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (win_r, 1), 0)
     rowmask = (rrel == row_ids).astype(jnp.float32)
 
-    n_img_ch = img_ref.shape[0]  # 5 = [d_hi, d_lo, r, g, b]; 3 = [d_hi, d_lo, g]
-    vals = []
-    for ch in range(n_img_ch):
-        win = img_ref[ch, pl.ds(r0, win_r), pl.ds(c0, win_c)]  # (win_r, win_c)
+    def _select(win_bf16):
         # precision must be DEFAULT: the package-global "highest" requests an
         # fp32 contract that Mosaic rejects for bf16 operands — and bf16 is
-        # exact here anyway (one-hot rhs selecting bf16-packed planes).
+        # exact here anyway (one-hot rhs selecting bf16 planes).
         tmp = jax.lax.dot_general(
-            win, colselT,
+            win_bf16, colselT,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
-        )  # (win_r, 512): [r, v] = img[ch, r0 + r, crel[v] + c0]
-        vals.append(jnp.sum(tmp * rowmask, axis=0, keepdims=True))  # (1, 512)
+        )  # (win_r, 512): [r, v] = win[r, crel[v]]
+        return jnp.sum(tmp * rowmask, axis=0, keepdims=True)  # (1, 512)
+
+    if img_ref.dtype == jnp.float32:
+        # raw [depth, gray] planes: split depth into bf16 hi+lo INSIDE the
+        # kernel (per-window, tiny) so the caller never pays a whole-image
+        # pack/relayout pass (~11 ms at 640x480 on v5e).
+        win_d = img_ref[0, pl.ds(r0, win_r), pl.ds(c0, win_c)]
+        d_hi = win_d.astype(jnp.bfloat16)
+        d_lo = (win_d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        win_g = img_ref[1, pl.ds(r0, win_r), pl.ds(c0, win_c)].astype(jnp.bfloat16)
+        vals = [_select(d_hi), _select(d_lo), _select(win_g)]
+        n_img_ch = 3
+    else:
+        n_img_ch = img_ref.shape[0]  # 5 = [d_hi, d_lo, r, g, b]; 3 = [d_hi, d_lo, g]
+        vals = [
+            _select(img_ref[ch, pl.ds(r0, win_r), pl.ds(c0, win_c)])
+            for ch in range(n_img_ch)
+        ]
 
     d_px = vals[0] + vals[1]  # hi + lo
     sdf_m = d_px - zc  # (1, 512)
@@ -188,7 +202,7 @@ def integrate_slots_pallas(
     vox: jax.Array,  # (B+1, 5, 512) f32; row B is trash
     keys: jax.Array,  # (K,) int32 — packed block keys per touched slot
     slots: jax.Array,  # (K,) int32; padding/dropped entries = B
-    img5: jax.Array,  # (5, H, W) bf16 from pack_image
+    img5: jax.Array,  # (5|3, H, W) bf16 from pack_image*, or (2, H, W) f32
     T_cw: jax.Array,  # (4, 4) f32
     fx: float, fy: float, cx: float, cy: float,
     voxel_size: float,
@@ -198,7 +212,12 @@ def integrate_slots_pallas(
     win_r: int = WIN_R,
     win_c: int = WIN_C,
 ) -> jax.Array:
-    """In-place TSDF update of `vox` at `slots` for one packed frame."""
+    """In-place TSDF update of `vox` at `slots` for one packed frame.
+
+    The (2, H, W) float32 form is `jnp.stack([depth, gray])` — no bf16
+    pre-pack; the kernel splits depth hi/lo per-window (preferred: the
+    whole-image pack pass costs ~11 ms of relayout on v5e).
+    """
     _, h, w = img5.shape
     k = slots.shape[0]
     kern = functools.partial(

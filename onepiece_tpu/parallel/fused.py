@@ -82,7 +82,7 @@ def fused_tsdf_step_sharded(
         local = jnp.where(
             (slots >= 0) & (local >= 0) & (local < cap_local), local, cap_local
         ).astype(jnp.int32)
-        img = tp.pack_image_gray(depth_r, gray_r)
+        img = jnp.stack([depth_r, gray_r])  # f32 path: kernel splits hi/lo in-window
         vox_l = tp.integrate_slots_pallas(
             vox_l, keys, local, img, se3.inverse_T(T_r),
             fx, fy, cx, cy, voxel_size, truncation, interpret=interpret,
@@ -133,7 +133,7 @@ def dryrun(mesh: Mesh, camera, axis: str = "d", interpret: bool = True) -> None:
     )
     _, slots = dh.insert(dh.make_table(1 << 13, cap_total), keys)
     slots_safe = jnp.where(slots < 0, cap_total, slots).astype(jnp.int32)
-    img = tp.pack_image_gray(depth, gray)
+    img = jnp.stack([depth, gray])
     vox1 = tp.integrate_slots_pallas(
         vox1, keys, slots_safe, img, se3.inverse_T(T_w),
         camera.fx, camera.fy, camera.cx, camera.cy, 0.05, 0.2,

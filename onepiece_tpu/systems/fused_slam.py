@@ -70,7 +70,7 @@ def _integrate(
     cap = vox.shape[0] - 1
     slots_safe = jnp.where(slots < 0, cap, slots).astype(jnp.int32)
     if rgb is None:
-        img5 = tp.pack_image_gray(depth_f, gray)  # transpose-free
+        img5 = jnp.stack([depth_f, gray])  # f32; kernel splits hi/lo in-window
     else:
         img5 = tp.pack_image(depth_f, rgb)
     T_cw = se3.inverse_T(T_w)

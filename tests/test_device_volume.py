@@ -148,6 +148,34 @@ class TestPallasIntegrate:
         # trash row untouched semantics: padding slots wrote only row nb
         assert np.abs(out[: nb, :2]).max() < 1000
 
+    def test_f32_image_path_matches_packed_gray(self, frame):
+        """(2, H, W) f32 [depth, gray] input == pack_image_gray bit-exactly
+        (the in-kernel hi/lo split is the same arithmetic as the pack)."""
+        depth, rgb, bc, (fx, fy, cx, cy) = frame
+        gray = rgb[..., 0]
+        nb = len(bc)
+        vox = np.zeros((nb + 1, 5, 512), np.float32)
+        vox[:, 0] = tsdf_ops.EMPTY_SDF
+        slots = np.full(128, nb, np.int32)
+        slots[:nb] = np.arange(nb)
+        keys = np.zeros(128, np.int32)
+        keys[:nb] = _pack(bc)
+        T_cw = np.eye(4, dtype=np.float32)
+
+        def run(img):
+            return np.asarray(
+                tp.integrate_slots_pallas(
+                    jnp.asarray(vox), jnp.asarray(keys), jnp.asarray(slots),
+                    img, jnp.asarray(T_cw), fx, fy, cx, cy, 0.0125, 0.1,
+                    interpret=True,
+                )
+            )
+
+        out_f32 = run(jnp.stack([jnp.asarray(depth), jnp.asarray(gray)]))
+        out_pack = run(tp.pack_image_gray(jnp.asarray(depth), jnp.asarray(gray)))
+        np.testing.assert_array_equal(out_f32, out_pack)
+        assert (out_f32[:nb, 1] > 0).sum() > 5000  # real updates happened
+
     def test_pool_roundtrip_layout(self):
         vox = tp.make_pool(4)
         sdf, weight, color = tp.pool_to_blocks(vox)
