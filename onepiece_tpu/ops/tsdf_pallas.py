@@ -39,8 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .tsdf import CUBE_SIZE, EMPTY_SDF
 
 N_VOX = CUBE_SIZE**3  # 512
-WIN_R = 128  # window rows (8-aligned dynamic slice); covers blocks at z >~ 0.7 m
-WIN_C = 256  # window cols; 128-aligned start, so a <=128 px span always fits
+WIN_R = 128  # window rows (8-aligned dynamic slice); covers blocks at z >~ 0.5 m
+# window cols: Mosaic requires lane-dim dynamic-slice starts PROVABLY
+# multiples of 128 ("cannot statically prove that index in dimension 2 is a
+# multiple of 128"), so the narrowest usable window for a <=105 px block
+# span (0.1 m block at the 0.5 m MIN_DEPTH, TUM intrinsics) is 256 wide at a
+# 128-aligned start. A 16-aligned 128-wide window would halve the selection
+# matmul FLOPs but does not compile.
+WIN_C = 256
 
 
 def pack_image(depth: jax.Array, rgb: jax.Array) -> jax.Array:

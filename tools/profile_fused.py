@@ -83,10 +83,10 @@ def main():
     timeit("dh.insert (1 round, warm table)", ins, table, keys)
     _, slots = ins(table, keys)
 
-    # stage 6: pack + pallas integrate
-    packg = jax.jit(tp.pack_image_gray)
-    timeit("pack_image_gray", packg, d_f, g1)
-    img3 = packg(d_f, g1)
+    # stage 6: f32 image stack + pallas integrate (in-kernel hi/lo split)
+    stack2 = jax.jit(lambda d, g: jnp.stack([d, g]))
+    timeit("img f32 stack", stack2, d_f, g1)
+    img3 = stack2(d_f, g1)
     cap = 16384
     vox = tp.make_pool(cap)
     slots_safe = jnp.where(slots < 0, cap, slots).astype(jnp.int32)
@@ -108,15 +108,15 @@ def main():
             st, g, d, None, cam, 0.0125, 0.1, 4096, 6,
             iters=ITERS, radii=RADII)
 
-    # donation: rebuild state each call is unfair; instead loop state through
-    step(st, g1, d1)  # compile
+    # state is DONATED: thread it through every call (never reuse a donated
+    # buffer), timing from a steady-state snapshot
+    st, _ = step(st, g1, d1)  # compile + first step
     ns = 10
-    st2, _ = step(st, g1, d1)
-    jax.block_until_ready(st2.vox)
+    jax.block_until_ready(st.vox)
     t0 = time.perf_counter()
     for _ in range(ns):
-        st2, out = step(st2, g1, d1)
-    jax.block_until_ready(st2.vox)
+        st, out = step(st, g1, d1)
+    jax.block_until_ready(st.vox)
     print(f"{'fused_frame_step (steady)':40s} {(time.perf_counter()-t0)/ns*1e3:8.2f} ms")
 
 

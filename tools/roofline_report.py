@@ -133,16 +133,16 @@ def main():
     )
     slots = jnp.asarray(np.arange(B, dtype=np.int32))
     vox = tp.make_pool(B)
-    img3 = tp.pack_image_gray(d0, g0)
+    img2 = jnp.stack([d0, g0])  # f32 production path: in-kernel hi/lo split
     t = bench(
-        tp.integrate_slots_pallas, vox, keys, slots, img3, jnp.eye(4),
+        tp.integrate_slots_pallas, vox, keys, slots, img2, jnp.eye(4),
         cam.fx, cam.fy, cam.cx, cam.cy, 0.0125, 0.1, n=10,
     )
-    # per block: 3 channel one-hot matmuls (128 x WIN_C) @ (WIN_C x 512)
+    # per block: 3 channel one-hot matmuls (WIN_R x WIN_C) @ (WIN_C x 512)
     report(
         "tsdf_integrate pallas (4096 blocks)", t,
-        B * 3 * 2 * 128 * tp.WIN_C * 512,
-        B * (512 * 5 * 4 * 2) + 5 * h * w * 2,
+        B * 3 * 2 * tp.WIN_R * tp.WIN_C * 512,
+        B * (512 * 5 * 4 * 2) + 2 * h * w * 4,
     )
 
     # --- ICP iteration: brute-force NN over 20k x 20k --------------------
