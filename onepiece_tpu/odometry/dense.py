@@ -285,7 +285,16 @@ def _track_level_prewarp(
         dv = j21 * ru + j22 * rv + (uv0f[..., 1] - uv0i[..., 1])
         d = jnp.stack([du, dv])
         vals, ok = warp_ops.stencil_sample(stack6, stack_valid, d, radius)
-        g, gx, gy, zt, ztx, zty = (vals[i] for i in range(6))
+        g, gx_w, gy_w, zt, ztx_w, zty_w = (vals[i] for i in range(6))
+        # The sampled gradients are Sobel of the WARPED image, i.e. distorted
+        # by the pre-warp map: [gx_w, gy_w]^T = J_w^T [dI/du, dI/dv]^T.
+        # Rotate them back to target-pixel frame with J_w^{-T} (entries j*),
+        # or the GN direction is biased by O(J_w - I) — which is exactly the
+        # frame-to-frame motion under a constant-velocity init.
+        gx = j11 * gx_w + j21 * gy_w
+        gy = j12 * gx_w + j22 * gy_w
+        ztx = j11 * ztx_w + j21 * zty_w
+        zty = j12 * ztx_w + j22 * zty_w
         r_i = g - src_gray
         r_z = zt - z
         valid = ok & src_valid & (z > 1e-6) & (jnp.abs(r_z) < ddm)
@@ -336,7 +345,7 @@ def _track_level_prewarp(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "iters", "radii", "lambda_depth"),
+    static_argnames=("camera", "iters", "radii", "lambda_depth", "polish"),
 )
 def dense_tracking(
     source: FramePyramid,
@@ -346,6 +355,7 @@ def dense_tracking(
     iters: tuple[int, ...] = DEFAULT_ITERS,
     radii: tuple[int, ...] = (8, 4, 4),
     lambda_depth: float = LAMBDA_HYBRID_DEPTH,
+    polish: int = 2,
 ) -> DenseTrackingResult:
     """TPU-fast multi-scale dense tracking (pre-warp + stencil).
 
@@ -355,6 +365,13 @@ def dense_tracking(
     radii[0] is the coarsest level's stencil radius (largest because the
     init pose is least converged there). Numerics match
     `dense_tracking_exact` to the warp-smoothness approximation.
+
+    `polish` > 0 adds one RE-LINEARISATION round at the finest level: a
+    fresh pre-warp at the converged pose plus `polish` extra stencil
+    iterations (radius 2). With the base pose at the solution the residual
+    displacement is sub-pixel, so the pre-warp approximation error is
+    second-order — this recovers the exact bilinear path's accuracy for the
+    cost of one extra nearest gather (~1 ms), not 28 of them.
     """
     levels = len(source.grays)
     assert len(iters) == levels and len(radii) == levels
@@ -373,6 +390,18 @@ def dense_tracking(
             cams[li],
             iters[k],
             radii[k],
+            lambda_depth,
+        )
+    if polish > 0:
+        T, cost, nin, _ = _track_level_prewarp(
+            T,
+            source.xyzs[0],
+            source.grays[0],
+            target.grays[0],
+            target.depths[0],
+            cams[0],
+            polish,
+            2,
             lambda_depth,
         )
     rmse = jnp.sqrt(cost / jnp.clip(nin, 1.0, None))

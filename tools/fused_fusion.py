@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--radii", type=str, default="4,3,2",
                     help="multi-scale stencil radii coarse->fine")
     ap.add_argument("--capacity", type=int, default=16384)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (lax.scan); >1 trades "
+                    "chunk-sized latency for launch-overhead-free throughput")
     args = ap.parse_args()
 
     from onepiece_tpu.io import trajectory as traj
@@ -39,9 +42,23 @@ def main():
     )
     t0 = time.perf_counter()
     n = 0
-    for ts, gray, depth in frames:
-        slam.process_frame(gray, depth)
-        n += 1
+    if args.chunk > 1:
+        buf = []
+        for ts, gray, depth in frames:
+            buf.append((gray, depth))
+            n += 1
+            if len(buf) == args.chunk:
+                slam.process_chunk(
+                    np.stack([g for g, _ in buf]), np.stack([d for _, d in buf])
+                )
+                buf.clear()
+        if buf:  # tail < chunk: per-frame dispatches (no extra scan compile)
+            for g, d in buf:
+                slam.process_frame(g, d)
+    else:
+        for ts, gray, depth in frames:
+            slam.process_frame(gray, depth)
+            n += 1
     poses, rmses = slam.finalize()
     dt = time.perf_counter() - t0
     print(f"fused slam: {n} frames in {dt:.2f}s ({n / dt:.2f} fps), "
