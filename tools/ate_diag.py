@@ -64,12 +64,27 @@ def main():
             f"rel_r mean={np.mean(rel_err_r):6.4f} deg  ({time.perf_counter() - t0:.1f}s)"
         )
 
-    run("fast (4,3,2) nopolish", lambda a, b, T: dense.dense_tracking(
+    def two_round(a, b, T):
+        r1 = dense.dense_tracking(
+            a, b, cam, init_T=T, iters=(16, 4, 2), radii=(4, 3, 2), polish=0)
+        return dense.dense_tracking(
+            a, b, cam, init_T=r1.T_ts, iters=(0, 4, 2), radii=(4, 3, 2),
+            polish=0)
+
+    def three_round(a, b, T):
+        r1 = dense.dense_tracking(
+            a, b, cam, init_T=T, iters=(16, 4, 2), radii=(4, 3, 2), polish=0)
+        r2 = dense.dense_tracking(
+            a, b, cam, init_T=r1.T_ts, iters=(0, 4, 2), radii=(4, 3, 2),
+            polish=0)
+        return dense.dense_tracking(
+            a, b, cam, init_T=r2.T_ts, iters=(0, 0, 2), radii=(4, 3, 2),
+            polish=0)
+
+    run("fast (4,3,2) 1-round", lambda a, b, T: dense.dense_tracking(
         a, b, cam, init_T=T, radii=(4, 3, 2), polish=0))
-    run("fast (4,3,2) polish=2", lambda a, b, T: dense.dense_tracking(
-        a, b, cam, init_T=T, radii=(4, 3, 2), polish=2))
-    run("fast (4,3,2) polish=4", lambda a, b, T: dense.dense_tracking(
-        a, b, cam, init_T=T, radii=(4, 3, 2), polish=4))
+    run("fast 2-round re-prewarp", two_round)
+    run("fast 3-round re-prewarp", three_round)
     run("exact bilinear", lambda a, b, T: dense.dense_tracking_exact(
         a, b, cam, init_T=T))
 
