@@ -151,6 +151,55 @@ def insert(
     return BlockHashTable(tk, ts, bc, na, ov + dropped), slots
 
 
+def insert_at(
+    table: BlockHashTable,
+    keys: jax.Array,
+    slots: jax.Array,
+    max_probes: int = 16,
+    claim_rounds: int = 12,
+) -> BlockHashTable:
+    """Insert unique keys with EXPLICIT pool slots (rebuild after migration).
+
+    Unlike `insert`, slots are caller-assigned (e.g. `dest_device *
+    cap_local + local_index` after an all_to_all re-shard), so they need
+    not be contiguous. keys are unique or INVALID_KEY; slots[i] is keys[i]'s
+    slot (ignored for invalid keys). block_coords rows are written at the
+    given slots; num_active counts the valid keys.
+    """
+    tk, ts, bc, _, ov = table
+    size = tk.shape[0]
+    cap = bc.shape[0]
+    valid = keys != INVALID_KEY
+    base = _hash_keys(keys, size - 1)
+    probe_ids = jnp.arange(max_probes, dtype=jnp.int32)
+    pos_all = (base[:, None] + probe_ids[None, :]) & (size - 1)
+
+    def round_body(_, state):
+        tk, ts, pending = state
+        cur_all = tk[pos_all]
+        empty_now = cur_all == INVALID_KEY
+        has_empty = jnp.any(empty_now, axis=1)
+        j = jnp.argmax(empty_now, axis=1)
+        pos = jnp.take_along_axis(pos_all, j[:, None], axis=1)[:, 0]
+        attempt = pending & has_empty
+        claim_pos = jnp.where(attempt, pos, size)
+        tk = tk.at[claim_pos].min(keys, mode="drop")
+        claimed = attempt & (tk[pos] == keys)
+        ts = ts.at[jnp.where(claimed, pos, size)].set(slots, mode="drop")
+        pending = pending & ~claimed
+        return tk, ts, pending
+
+    tk, ts, pending = jax.lax.fori_loop(
+        0, claim_rounds, round_body, (tk, ts, valid)
+    )
+    bc = bc.at[jnp.where(valid, slots, cap)].set(
+        unpack_keys(keys), mode="drop"
+    )
+    na = jnp.sum(valid.astype(jnp.int32))
+    dropped = jnp.sum(pending.astype(jnp.int32))
+    return BlockHashTable(tk, ts, bc, na, ov + dropped)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def lookup(table: BlockHashTable, keys: jax.Array, max_probes: int = 16) -> jax.Array:
     """Pool slots for packed keys, -1 if absent. (K,) int32 -> (K,) int32."""

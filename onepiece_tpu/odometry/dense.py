@@ -32,7 +32,7 @@ MIN_DEPTH = 0.5
 MAX_DEPTH = 4.0
 SOBEL_SCALE = 1.0 / 8.0
 LAMBDA_HYBRID_DEPTH = 0.5
-DEPTH_DIFF_MAX = 0.07  # max |warped z - sampled target z| in meters
+DEPTH_DIFF_MAX = 0.05  # max |warped z - sampled target z| in meters (ref MAX_DIFF_DEPTH)
 DEFAULT_LEVELS = 3
 DEFAULT_ITERS = (16, 8, 4)  # coarsest -> ... -> finest? stored finest-first below
 
@@ -66,7 +66,13 @@ def _depth_pyr_down(depth: jax.Array) -> jax.Array:
     return jnp.where(c > 0, s / jnp.clip(c, 1.0, None), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "levels", "min_depth", "max_depth"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera", "levels", "min_depth", "max_depth", "depth_blur",
+        "intensity_norm",
+    ),
+)
 def preprocess_frame(
     gray: jax.Array,
     depth: jax.Array,
@@ -74,15 +80,37 @@ def preprocess_frame(
     levels: int = DEFAULT_LEVELS,
     min_depth: float = MIN_DEPTH,
     max_depth: float = MAX_DEPTH,
+    depth_blur: bool = True,
+    intensity_norm: bool = False,
 ) -> FramePyramid:
     """Gray/depth -> pyramids + XYZ backprojections.
 
     (ref: Odometry.cpp:609-620 `InitializeRGBDDenseTracking` — gray/255,
-    NaN-clip depth to [0.5, 4], Gaussian smooth; :436-461 pyramid builds.)
+    NaN-clip depth to [0.5, 4], Gaussian smooth BOTH gray and depth; the
+    reference's NaN depth propagates through the blur, invalidating any
+    pixel whose window touches an invalid depth — `depth_blur` reproduces
+    that with a validity erosion. :436-461 pyramid builds.)
+
+    `intensity_norm` is the per-frame half of the reference's
+    `NormalizeIntensity` (ref: DenseOdometryFunction.cpp:129-144): each
+    image is rescaled so its mean intensity over valid-depth pixels is 0.5.
+    The reference normalises over the pair's initial correspondences; both
+    frames end up at mean 0.5, so per-frame normalisation to the same
+    target is equivalent up to the (tiny) support difference, and it keeps
+    preprocessing per-frame cacheable.
     """
     g = gray.astype(jnp.float32)
     g = image_ops.gaussian_blur(g)
     d = image_ops.clip_depth(depth.astype(jnp.float32), min_depth, max_depth)
+    if depth_blur:
+        valid = (d > 0).astype(jnp.float32)
+        db = image_ops.gaussian_blur(d)
+        vb = image_ops.gaussian_blur(valid)
+        d = jnp.where(vb > 0.9999, db, 0.0)
+    if intensity_norm:
+        m = (d > 0).astype(jnp.float32)
+        mean = jnp.sum(g * m) / jnp.clip(jnp.sum(m), 1.0, None)
+        g = g * (0.5 / jnp.clip(mean, 1e-6, None))
     grays = [g]
     depths = [d]
     for _ in range(levels - 1):
@@ -103,6 +131,7 @@ def _track_level(
     term: str,
     lambda_depth: float,
     huber_delta: float,
+    depth_diff_max: float = DEPTH_DIFF_MAX,
 ) -> tuple[jax.Array, dops.NormalEquations]:
     src_pts = src_xyz.reshape(-1, 3)
     src_val = src_pts[:, 2] > 0
@@ -112,7 +141,7 @@ def _track_level(
     cx = jnp.float32(cam.cx)
     cy = jnp.float32(cam.cy)
     lam = jnp.float32(lambda_depth)
-    ddm = jnp.float32(DEPTH_DIFF_MAX)
+    ddm = jnp.float32(depth_diff_max)
 
     def body(_, carry):
         T, _ = carry
@@ -131,7 +160,10 @@ def _track_level(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "iters", "term", "huber_delta", "lambda_depth"),
+    static_argnames=(
+        "camera", "iters", "term", "huber_delta", "lambda_depth",
+        "depth_diff_max", "pair_norm",
+    ),
 )
 def dense_tracking_exact(
     source: FramePyramid,
@@ -142,6 +174,8 @@ def dense_tracking_exact(
     term: str = "hybrid",
     lambda_depth: float = LAMBDA_HYBRID_DEPTH,
     huber_delta: float = 0.0,
+    depth_diff_max: float = DEPTH_DIFF_MAX,
+    pair_norm: bool = False,
 ) -> DenseTrackingResult:
     """Coarse-to-fine Gauss-Newton alignment of source onto target.
 
@@ -157,19 +191,36 @@ def dense_tracking_exact(
     assert len(iters) == levels
     T = jnp.eye(4, dtype=jnp.float32) if init_T is None else init_T
     cams = camera.pyramid(levels)
+    if pair_norm:
+        # Reference NormalizeIntensity (ref: DenseOdometryFunction.cpp:129-144):
+        # over the identity-pose correspondences (same pixel, both depths
+        # valid, |dz| < MAX_DIFF_DEPTH) scale each gray image to mean 0.5.
+        ds = source.depths[0]
+        dt = target.depths[0]
+        m = ((ds > 0) & (dt > 0) & (jnp.abs(dt - ds) < depth_diff_max)).astype(
+            jnp.float32
+        )
+        msum = jnp.clip(jnp.sum(m), 1.0, None)
+        s_s = 0.5 / jnp.clip(jnp.sum(source.grays[0] * m) / msum, 1e-6, None)
+        s_t = 0.5 / jnp.clip(jnp.sum(target.grays[0] * m) / msum, 1e-6, None)
+    else:
+        s_s = jnp.float32(1.0)
+        s_t = jnp.float32(1.0)
     last_ne = None
     for li in reversed(range(levels)):  # coarsest first
         tgt = dops.build_term_data(target.grays[li], target.depths[li], SOBEL_SCALE)
+        tgt = tgt._replace(gray=tgt.gray * s_t, dx=tgt.dx * s_t, dy=tgt.dy * s_t)
         T, last_ne = _track_level(
             T,
             source.xyzs[li],
-            source.grays[li],
+            source.grays[li] * s_s,
             tgt,
             cams[li],
             iters[levels - 1 - li],
             term,
             lambda_depth,
             huber_delta,
+            depth_diff_max,
         )
     rmse = jnp.sqrt(last_ne.cost / jnp.clip(last_ne.num_inliers, 1.0, None))
     return DenseTrackingResult(T, last_ne.cost, last_ne.num_inliers, rmse)
@@ -181,57 +232,89 @@ def chain_pose(T_w_source: jax.Array, T_ts: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# TPU-fast path: per-level nearest pre-warp (one gather) + gather-free
-# stencil sampling inside the GN loop. See ops/warp.py for the rationale.
+# TPU-fast path: per-level BILINEAR pre-warp (one quad-packed row gather) +
+# gather-free stencil sampling inside the GN loop. See ops/warp.py for the
+# cost model: gather cost on TPU is per-INDEX, not per-element, so packing
+# the 2x2 bilinear neighbourhood of all 7 term planes into one 28-channel
+# row costs the same as the old 3-channel nearest gather while producing
+# exactly the values the reference-exact path would bilinearly sample —
+# including the TARGET-space Sobel gradients, which removes the
+# warped-gradient rotation correction (and its rounding-noise bias: the old
+# nearest pre-warp carried ~0.5 px resampling jitter into the Sobel planes,
+# a rel-rot bias of ~0.2 deg/pair that re-linearisation could not fix).
 # ---------------------------------------------------------------------------
 
 
-def _nearest_prewarp(
-    grays: jax.Array, depths: jax.Array, uv0f: jax.Array
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Nearest-neighbour warp of (gray, depth, valid) by rounded coords.
+def _pack_quad_rows(term: dops.TermData) -> jax.Array:
+    """Pack target term planes into bilinear-quad rows (H*W+1, 28).
 
-    Returns (stack6 (6, H, W) = warped gray/gx/gy/depth/zx/zy planes,
-             stack_valid (H, W), uv0i (H, W, 2) the rounded base coords).
-    Nearest pre-warp + bilinear stencil == direct bilinear sampling, because
-    the stencil interpolates the residual d = uv_true - uv0i exactly.
+    Row layout: 4 taps [(0,0), (0,1), (1,0), (1,1)] x 7 channels
+    [gray, dx, dy, depth, zdx, zdy, depth_valid]. The final row is an
+    all-zero (invalid) dummy for out-of-bounds indices.
     """
-    h, w = grays.shape
-    uv0i = jnp.round(uv0f)
-    ui = uv0i[..., 0].astype(jnp.int32)
-    vi = uv0i[..., 1].astype(jnp.int32)
-    inb = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-    uic = jnp.clip(ui, 0, w - 1)
-    vic = jnp.clip(vi, 0, h - 1)
-    src = jnp.stack([grays, depths, (depths > 0).astype(jnp.float32)], axis=-1)
-    warped = src.reshape(-1, 3)[vic * w + uic]  # ONE gather
-    warped = jnp.where(inb[..., None], warped, 0.0)
-    g_w, z_w, ind = warped[..., 0], warped[..., 1], warped[..., 2]
-    gx, gy = image_ops.sobel(g_w)
-    zx, zy = image_ops.sobel(z_w)
-    s = SOBEL_SCALE
-    stack6 = jnp.stack([g_w, gx * s, gy * s, z_w, zx * s, zy * s], axis=0)
-    valid = inb & (ind > 0.5)
-    return stack6, valid, uv0i
+    h, w = term.gray.shape
+    planes = jnp.stack(
+        [
+            term.gray, term.dx, term.dy, term.depth, term.zdx, term.zdy,
+            (term.depth > 0).astype(term.gray.dtype),
+        ]
+    )  # (7, H, W)
+    padded = jnp.pad(planes, ((0, 0), (0, 1), (0, 1)))
+    taps = [padded[:, dy : dy + h, dx : dx + w] for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))]
+    q = jnp.concatenate(taps, axis=0)  # (28, H, W)
+    rows = q.reshape(28, h * w).T  # (H*W, 28)
+    return jnp.concatenate([rows, jnp.zeros((1, 28), rows.dtype)], axis=0)
+
+
+def _bilinear_prewarp(
+    quad_rows: jax.Array, uv0f: jax.Array, h: int, w: int
+) -> tuple[jax.Array, jax.Array]:
+    """Bilinearly warp all 7 term planes to the source grid. ONE gather.
+
+    Returns (stack6 (6, H, W) = gray/dx/dy/depth/zdx/zdy sampled at uv0f,
+    valid (H, W): in-bounds with all four depth taps valid — the same
+    gate as the exact path's `bilinear_sample(..., valid_zero=True)`).
+    """
+    u = uv0f[..., 0]
+    v = uv0f[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    inb = (u0i >= 0) & (u0i < w - 1) & (v0i >= 0) & (v0i < h - 1)
+    base = jnp.where(inb, v0i * w + u0i, h * w)
+    q = quad_rows[base]  # (H, W, 28) — ONE gather
+    w00 = ((1 - fu) * (1 - fv))[..., None]
+    w01 = (fu * (1 - fv))[..., None]
+    w10 = ((1 - fu) * fv)[..., None]
+    w11 = (fu * fv)[..., None]
+    t00, t01, t10, t11 = q[..., 0:7], q[..., 7:14], q[..., 14:21], q[..., 21:28]
+    s = t00 * w00 + t01 * w01 + t10 * w10 + t11 * w11
+    all_taps_valid = (t00[..., 6] > 0) & (t01[..., 6] > 0) & (t10[..., 6] > 0) & (t11[..., 6] > 0)
+    valid = inb & all_taps_valid
+    stack6 = jnp.moveaxis(jnp.where(valid[..., None], s[..., :6], 0.0), -1, 0)
+    return stack6, valid
 
 
 def _track_level_prewarp(
     T0: jax.Array,
     src_xyz: jax.Array,  # (H, W, 3)
     src_gray: jax.Array,  # (H, W)
-    tgt_gray: jax.Array,  # (H, W)
-    tgt_depth: jax.Array,  # (H, W)
+    quad_rows: jax.Array,  # (H*W+1, 28) packed target term planes
     cam: PinholeCamera,
     iters: int,
     radius: int,
     lambda_depth: float,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     from ..ops import warp as warp_ops
 
     fx = jnp.float32(cam.fx)
     fy = jnp.float32(cam.fy)
     cx = jnp.float32(cam.cx)
     cy = jnp.float32(cam.cy)
+    h, w = src_gray.shape
     z_src = src_xyz[..., 2]
     src_valid = z_src > 0
 
@@ -245,15 +328,18 @@ def _track_level_prewarp(
         v = p[..., 1] / zs * fy + cy
         return p, z, jnp.stack([u, v], axis=-1)
 
-    # pre-warp at level entry with T0 (one gather)
+    # pre-warp at level entry with T0 (one quad-row gather): stack6 holds the
+    # target's gray/dx/dy/depth/zdx/zdy bilinearly sampled at uv0f — the
+    # gradients are the TARGET-space Sobel planes, exactly what the exact
+    # path samples, so no gradient rotation correction is needed below.
     _, _, uv0f = project(T0)
-    stack6, stack_valid, uv0i = _nearest_prewarp(tgt_gray, tgt_depth, uv0f)
+    stack6, stack_valid = _bilinear_prewarp(quad_rows, uv0f, h, w)
 
     # Spatial Jacobian of the pre-warp map, J_w = d(uv0f)/d(x): sampling the
     # pre-warped stack at x + delta reads the target near
-    # uv0f(x) + J_w delta, so the GN displacement must be corrected by
+    # uv0f(x) + J_w delta, so the GN displacement must be mapped through
     # J_w^{-1} — without it, a non-identity base pose (e.g. previous-frame
-    # init) biases the sampled gradients and the tracker drifts.
+    # init) displaces the samples and the tracker drifts.
     def _grad_xy(f):
         gx = jnp.zeros_like(f).at[:, 1:-1].set((f[:, 2:] - f[:, :-2]) * 0.5)
         gy = jnp.zeros_like(f).at[1:-1, :].set((f[2:, :] - f[:-2, :]) * 0.5)
@@ -277,24 +363,14 @@ def _track_level_prewarp(
     def body(_, carry):
         T, _c, _n = carry
         p, z, uv = project(T)
-        # displacement in the pre-warped frame: J_w^{-1} (uv - uv0f),
-        # plus the sub-pixel offset the nearest rounding introduced
+        # displacement in the pre-warped frame: J_w^{-1} (uv - uv0f)
         ru = uv[..., 0] - uv0f[..., 0]
         rv = uv[..., 1] - uv0f[..., 1]
-        du = j11 * ru + j12 * rv + (uv0f[..., 0] - uv0i[..., 0])
-        dv = j21 * ru + j22 * rv + (uv0f[..., 1] - uv0i[..., 1])
+        du = j11 * ru + j12 * rv
+        dv = j21 * ru + j22 * rv
         d = jnp.stack([du, dv])
         vals, ok = warp_ops.stencil_sample(stack6, stack_valid, d, radius)
-        g, gx_w, gy_w, zt, ztx_w, zty_w = (vals[i] for i in range(6))
-        # The sampled gradients are Sobel of the WARPED image, i.e. distorted
-        # by the pre-warp map: [gx_w, gy_w]^T = J_w^T [dI/du, dI/dv]^T.
-        # Rotate them back to target-pixel frame with J_w^{-T} (entries j*),
-        # or the GN direction is biased by O(J_w - I) — which is exactly the
-        # frame-to-frame motion under a constant-velocity init.
-        gx = j11 * gx_w + j21 * gy_w
-        gy = j12 * gx_w + j22 * gy_w
-        ztx = j11 * ztx_w + j21 * zty_w
-        zty = j12 * ztx_w + j22 * zty_w
+        g, gx, gy, zt, ztx, zty = (vals[i] for i in range(6))
         r_i = g - src_gray
         r_z = zt - z
         valid = ok & src_valid & (z > 1e-6) & (jnp.abs(r_z) < ddm)
@@ -340,7 +416,7 @@ def _track_level_prewarp(
     T, cost, nin = jax.lax.fori_loop(
         0, iters, body, (T0, jnp.float32(0.0), jnp.float32(0.0))
     )
-    return T, cost, nin, uv0i
+    return T, cost, nin
 
 
 @functools.partial(
@@ -355,23 +431,25 @@ def dense_tracking(
     iters: tuple[int, ...] = DEFAULT_ITERS,
     radii: tuple[int, ...] = (8, 4, 4),
     lambda_depth: float = LAMBDA_HYBRID_DEPTH,
-    polish: int = 2,
+    polish: int = 0,
 ) -> DenseTrackingResult:
-    """TPU-fast multi-scale dense tracking (pre-warp + stencil).
+    """TPU-fast multi-scale dense tracking (bilinear pre-warp + stencil).
 
-    Per level: ONE nearest-neighbour gather rebases the target onto the
+    Per level: ONE quad-packed row gather bilinearly rebases the target's
+    term planes (gray/dx/dy/depth/zdx/zdy, target-space Sobel) onto the
     source grid at the level-entry pose, then `iters` gather-free GN
-    iterations sample the pre-warped stack with a (2r+1)^2 stencil.
-    radii[0] is the coarsest level's stencil radius (largest because the
-    init pose is least converged there). Numerics match
-    `dense_tracking_exact` to the warp-smoothness approximation.
+    iterations sample the pre-warped stack with a (2r+1)^2 stencil at the
+    J_w^{-1}-mapped residual displacement. radii[0] is the coarsest level's
+    stencil radius (largest because the init pose is least converged
+    there). Numerics match `dense_tracking_exact` to the smoothness of the
+    pre-warp map (second-order in the residual displacement).
 
     `polish` > 0 adds one RE-LINEARISATION round at the finest level: a
     fresh pre-warp at the converged pose plus `polish` extra stencil
-    iterations (radius 2). With the base pose at the solution the residual
-    displacement is sub-pixel, so the pre-warp approximation error is
-    second-order — this recovers the exact bilinear path's accuracy for the
-    cost of one extra nearest gather (~1 ms), not 28 of them.
+    iterations (radius 2). With the bilinear pre-warp the level-entry
+    samples are already exact, so polish is off by default (it buys <0.1 mm
+    ATE on the bench sequence for ~4 ms/pair); enable it for large-motion
+    pairs where the finest-level entry pose is far from the solution.
     """
     levels = len(source.grays)
     assert len(iters) == levels and len(radii) == levels
@@ -379,26 +457,30 @@ def dense_tracking(
     cams = camera.pyramid(levels)
     cost = jnp.float32(0.0)
     nin = jnp.float32(1.0)
+    quad0 = None
     for li in reversed(range(levels)):  # coarsest first
         k = levels - 1 - li
-        T, cost, nin, _ = _track_level_prewarp(
+        quad = _pack_quad_rows(
+            dops.build_term_data(target.grays[li], target.depths[li], SOBEL_SCALE)
+        )
+        if li == 0:
+            quad0 = quad
+        T, cost, nin = _track_level_prewarp(
             T,
             source.xyzs[li],
             source.grays[li],
-            target.grays[li],
-            target.depths[li],
+            quad,
             cams[li],
             iters[k],
             radii[k],
             lambda_depth,
         )
     if polish > 0:
-        T, cost, nin, _ = _track_level_prewarp(
+        T, cost, nin = _track_level_prewarp(
             T,
             source.xyzs[0],
             source.grays[0],
-            target.grays[0],
-            target.depths[0],
+            quad0,
             cams[0],
             polish,
             2,

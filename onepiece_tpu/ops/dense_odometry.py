@@ -58,9 +58,21 @@ def build_term_data(gray: jax.Array, depth: jax.Array, sobel_scale: float = 0.12
 
     sobel_scale is the reference's 1/8 Sobel normalisation
     (ref: src/Odometry/OdometryPredefined.h SOBEL_SCALE).
+
+    Depth gradients are masked to 0 wherever the 3x3 Sobel window touches
+    an invalid (0) depth: the reference stores invalid depth as NaN, so its
+    depth Sobel goes NaN there and is explicitly zeroed
+    (ref: DenseOdometryFunction.cpp:207-208, :258-259). With 0-filled
+    invalid depth, an unmasked Sobel would instead fabricate multi-meter
+    gradients along validity edges and bias the geometric term.
     """
     dx, dy = image_ops.sobel(gray)
     zdx, zdy = image_ops.sobel(depth)
+    valid = (depth > 0).astype(gray.dtype)
+    wsum = image_ops.box_sum3(valid)
+    interior = wsum > 8.5  # all 9 window taps valid
+    zdx = jnp.where(interior, zdx, 0.0)
+    zdy = jnp.where(interior, zdy, 0.0)
     return TermData(gray, dx * sobel_scale, dy * sobel_scale, depth, zdx * sobel_scale, zdy * sobel_scale)
 
 

@@ -93,6 +93,11 @@ def sobel(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     return dx, dy
 
 
+def box_sum3(img: jax.Array) -> jax.Array:
+    """3x3 box sum with edge replication (validity-window counting)."""
+    return _conv2d_same(img, np.ones((3, 3)))
+
+
 def scharr(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """3x3 Scharr gradients (better rotational symmetry than Sobel)."""
     k = np.array([[-3.0, 0, 3], [-10, 0, 10], [-3, 0, 3]])

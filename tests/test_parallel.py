@@ -68,3 +68,11 @@ def test_fused_sharded_matches_single_device(mesh, cam):
     from onepiece_tpu.parallel import fused
 
     fused.dryrun(mesh, cam)  # raises on any mismatch vs single-device pool
+
+
+def test_mc_sharded_and_migration_match_single_device(mesh, cam):
+    from onepiece_tpu.parallel import mc
+
+    # self-checking: sharded halo-exchange meshing == single-device mesh,
+    # and the mesh survives all_to_all block migration unchanged
+    mc.dryrun(mesh, cam)
