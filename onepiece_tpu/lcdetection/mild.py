@@ -8,27 +8,40 @@ exist to avoid exhaustive hamming distances on a scalar CPU; on TPU the
 database is one padded uint32 tensor (K, F, 8) and a query is a single
 XOR + population_count broadcast — exact (no hash-miss recall loss).
 
-Scoring follows MILD's shape: per query feature, the best match distance in
-each keyframe contributes a thresholded similarity vote; the per-keyframe
-sum is then converted to a salient score by normalising against the running
-mean/std of recent non-neighbour keyframes (ref:
-3rdparty/MILD/BayesianFilter.hpp:40-100 `calculateSalientScore`). Candidate
-selection keeps the reference's knobs: salient threshold 1.5, top
-MAX_CANDIDATES=7, adjacent keyframes excluded
-(ref: src/LCDetection/MildLCDetector.cpp:7-40).
+Scoring is the reference's tf-idf-weighted similarity
+(ref: loop_closure_detector.cpp:213-227): per query feature, every database
+feature within hamming distance 64 contributes
+exp(-max(d,10)^2/900) (`lut_feature_similarity`, :71-80 with
+HAMMING_COVARIANCE=900, mild.hpp:33); the per-keyframe sums are normalised
+by the feature's total energy and weighted by log(K / #keyframes-matched)
+— repeated structure that matches everywhere is discounted.
+
+Candidate selection uses the reference's salient score
+(ref: 3rdparty/MILD/BayesianFilter.hpp:40-100 `calculateSalientScore`:
+(sim - std) / mean over the pre-loop history, with the recent above-average
+streak trimmed), threshold 1.5 and top MAX_CANDIDATES=7
+(ref: src/LCDetection/MildLCDetector.cpp:7-40). The optional temporal
+Bayesian filter (ref: BayesianFilter.hpp:103-172 `filter`) tracks per-
+keyframe visit probabilities across queries with the reference's 0.95/0.05
+transition model and retro-erases isolated detections.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-SALIENT_THRESHOLD = 1.5  # ref: MildLCDetector.cpp threshold
-MAX_CANDIDATES = 7  # ref: MildLCDetector.cpp top-k
-HAMMING_VOTE_MAX = 64  # distance below which a feature votes
+SALIENT_THRESHOLD = 1.5  # ref: MildLCDetector.h salient_score_threshold
+MAX_CANDIDATES = 7  # ref: MildLCDetector.h max_candidate_num
+MIN_SHARED_SCORE = 4.0  # ref: BayesianFilter.hpp:28 min_shared_score_threshold
+HAMMING_THRESHOLD = 64  # ref: mild.hpp DEFAULT_HAMMING_DISTANCE_THRESHOLD
+HAMMING_COVARIANCE = 900.0  # ref: mild.hpp:33
+# energy floor = lut_feature_similarity[20] (ref: loop_closure_detector.cpp:214)
+_ENERGY_FLOOR = math.exp(-20.0 * 20.0 / HAMMING_COVARIANCE)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -38,26 +51,141 @@ def _similarity_scores(
     db_desc: jax.Array,  # (K, F, 8) uint32
     db_valid: jax.Array,  # (K, F)
 ) -> jax.Array:
-    """(K,) similarity of the query frame to each stored keyframe."""
+    """(K,) tf-idf similarity of the query frame to each stored keyframe.
+
+    Exhaustive-equivalent of `query_database` + `search_entry`
+    (ref: loop_closure_detector.cpp:232+, :290-308): every db feature
+    within distance 64 contributes its LUT similarity (the hash version
+    misses pairs that share no bucket; the exhaustive scan is exact).
+    """
+    kdb = db_desc.shape[0]
     x = jnp.bitwise_xor(q_desc[:, None, None, :], db_desc[None, :, :, :])
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)  # (N, K, F)
-    d = jnp.where(db_valid[None, :, :], d, 257)
-    dmin = jnp.min(d, axis=-1)  # (N, K) best distance per query feature
-    votes = jnp.maximum(0.0, 1.0 - dmin.astype(jnp.float32) / HAMMING_VOTE_MAX)
-    votes = jnp.where(q_valid[:, None], votes, 0.0)
-    denom = jnp.clip(jnp.sum(q_valid), 1, None).astype(jnp.float32)
-    return jnp.sum(votes, axis=0) / denom  # (K,)
+    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)  # (N, K, F)
+    sim = jnp.exp(-jnp.square(jnp.maximum(d, 10.0)) / HAMMING_COVARIANCE)
+    sim = jnp.where(db_valid[None, :, :] & (d < HAMMING_THRESHOLD), sim, 0.0)
+    fs = jnp.sum(sim, axis=-1)  # (N, K) feature_score
+    # tf-idf (ref: loop_closure_detector.cpp:213-227)
+    energy = _ENERGY_FLOOR + jnp.sum(fs, axis=-1, keepdims=True)  # (N, 1)
+    simcount = jnp.maximum(1, jnp.sum((fs > 0).astype(jnp.int32), axis=-1))
+    idf = jnp.log(jnp.maximum(1.0, kdb / simcount.astype(jnp.float32)))  # (N,)
+    contrib = fs / energy * idf[:, None]
+    return jnp.sum(jnp.where(q_valid[:, None], contrib, 0.0), axis=0)  # (K,)
+
+
+def salient_scores(sims: np.ndarray) -> np.ndarray:
+    """Reference `calculateSalientScore` (ref: BayesianFilter.hpp:40-100).
+
+    Trims the trailing streak of above-average scores (the adjacent
+    keyframes, which are naturally similar) from the statistics, then
+    salient[i] = (sim[i] - std) / mean.
+    """
+    n = len(sims)
+    if n == 0:
+        return np.zeros(0, np.float32)
+    avg = float(sims.mean())
+    # history_loop = largest index with sims[i] < avg; the reference slices
+    # [0:history_loop], EXCLUDING that element (ref loop + VectorXf sizing)
+    hist = n - 1
+    while hist >= 0 and sims[hist] >= avg:
+        hist -= 1
+    if hist <= 0:
+        return np.full(n, 3.0, np.float32)  # all frames significant
+    s = sims[:hist]
+    mean = float(s.mean())
+    if mean < 1e-8 or hist < 3:
+        return np.ones(n, np.float32)
+    delta = float(np.linalg.norm(s - s.mean()) / max(np.sqrt(hist - 1), 1.0))
+    return ((sims - delta) / mean).astype(np.float32)
+
+
+class BayesianTemporalFilter:
+    """Sequential visit-probability filter (ref: BayesianFilter.hpp:103-172).
+
+    Call `update(sims)` once per query (in keyframe order); returns the
+    per-keyframe visit probabilities for the `len(sims) - min_distance`
+    historical keyframes. Flags (prob > probability_threshold) are kept
+    per step, and an isolated detection — flagged at step t but supported
+    by neither t-1/t-2 nor t+1 in its +/-4 neighbourhood — is retro-erased,
+    mirroring the reference's `privious_visit_flag` surgery.
+    """
+
+    TRANS = ((0.95, 0.05), (0.05, 0.95))
+
+    def __init__(
+        self,
+        probability_threshold: float = 0.6,
+        non_loop_closure_threshold: float = 4.0,
+        min_shared_score_threshold: float = 4.0,
+        min_distance: int = 1,
+    ):
+        # defaults: ref BayesianFilter.hpp:26-29
+        self.probability_threshold = probability_threshold
+        self.nlc = non_loop_closure_threshold
+        self.min_shared = min_shared_score_threshold
+        self.min_distance = min_distance
+        self.prev_prob = np.zeros(0, np.float32)
+        self.flags: list[np.ndarray] = []
+
+    def update(self, sims: np.ndarray) -> np.ndarray:
+        n = len(sims) - self.min_distance
+        if n <= 0:
+            return np.zeros(0, np.float32)
+        s = np.asarray(sims[:n], np.float32)
+        mean = float(s.mean())
+        delta = float(np.linalg.norm(s - s.mean()) / max(np.sqrt(max(n - 1, 1)), 1.0))
+        prob = np.zeros(n, np.float32)
+        prev = self.prev_prob
+        for i in range(n):
+            sal = (s[i] - delta) / mean if mean >= 1e-8 else 1.0
+            if s[i] < self.min_shared:
+                sal = 1.0
+            like = max(1.0, sal)
+            lo = max(i - 2, 0)
+            hi = min(len(prev) - 1, i + 3)
+            alpha = float(prev[lo : hi + 1].max()) if hi >= lo and len(prev) else 0.0
+            p1 = like * self.TRANS[1][0] * (1 - alpha) + like * self.TRANS[1][1] * alpha
+            p2 = self.nlc * self.TRANS[0][0] * (1 - alpha) + self.nlc * self.TRANS[0][1] * alpha
+            prob[i] = p1 / (p1 + p2)
+        flags = (prob > self.probability_threshold).astype(np.int32)
+        # retro-erasure of isolated detections (ref: BayesianFilter.hpp:139-166)
+        if len(self.flags) >= 4:
+            prev_f = self.flags[-1]
+            rng = len(prev_f)
+            i = 0
+            while i < rng:
+                if prev_f[i] > 0:
+                    start = max(i - 4, 0)
+                    while i < rng and prev_f[i] > 0:
+                        i += 1
+                    end = min(i + 4, max(rng - 3, start + 1))
+                    if flags[start:end].max(initial=0) == 0:
+                        p2f = self.flags[-3][start:end].max(initial=0)
+                        p1f = self.flags[-2][start:end].max(initial=0)
+                        if p2f + p1f < 2:
+                            self.flags[-3][start:end] = 0
+                            self.flags[-2][start:end] = 0
+                            self.flags[-1][start:end] = 0
+                i += 1
+        self.prev_prob = prob
+        self.flags.append(flags)
+        return prob
 
 
 class LoopClosureDetector:
     """Keyframe descriptor DB with salient-score candidate selection."""
 
-    def __init__(self, feature_capacity: int = 512, initial_keyframes: int = 64):
+    def __init__(
+        self,
+        feature_capacity: int = 512,
+        initial_keyframes: int = 64,
+        temporal: bool = False,
+    ):
         self.fcap = feature_capacity
         self.kcap = initial_keyframes
         self.db = jnp.zeros((self.kcap, feature_capacity, 8), jnp.uint32)
         self.db_valid = jnp.zeros((self.kcap, feature_capacity), bool)
         self.num_keyframes = 0
+        self.temporal = BayesianTemporalFilter() if temporal else None
 
     def insert(self, desc: jax.Array, valid: jax.Array) -> int:
         """Add a keyframe's descriptors; returns its index.
@@ -81,6 +209,15 @@ class LoopClosureDetector:
         self.num_keyframes += 1
         return k
 
+    def similarity(self, desc: jax.Array, valid: jax.Array) -> np.ndarray:
+        """(num_keyframes,) tf-idf similarity scores of a query frame."""
+        k = self.num_keyframes
+        if k == 0:
+            return np.zeros(0, np.float32)
+        return np.asarray(
+            _similarity_scores(desc, valid, self.db[:k], self.db_valid[:k])
+        )
+
     def select_candidates(
         self,
         desc: jax.Array,
@@ -90,19 +227,27 @@ class LoopClosureDetector:
         """Keyframe indices that are likely loop closures for this frame.
 
         (ref: MildLCDetector.cpp:7-40 `SelectCandidates` — salient score
-        computed against the non-adjacent history, threshold 1.5, top 7.)
+        over the full database with recent-streak trimming, threshold 1.5,
+        top 7.) `exclude_recent` drops the most recent keyframes from the
+        returned list (callers track the previous keyframe separately).
+        If the detector was built with `temporal=True`, the Bayesian filter
+        state advances on every call.
         """
         k = self.num_keyframes
         if k <= exclude_recent:
             return []
-        sims = np.asarray(
-            _similarity_scores(desc, valid, self.db[:k], self.db_valid[:k])
-        )
-        history = sims[: k - exclude_recent]
-        if len(history) < 2:
-            return []
-        mean = history.mean()
-        std = history.std() + 1e-6
-        salient = (history - mean) / std
-        order = np.argsort(-salient)
-        return [int(i) for i in order[:MAX_CANDIDATES] if salient[i] >= SALIENT_THRESHOLD]
+        sims = self.similarity(desc, valid)
+        salient = salient_scores(sims)
+        # low absolute evidence cannot be a loop no matter how it compares
+        # to the (possibly all-zero) history — the reference applies the
+        # same clamp in its filter (ref: BayesianFilter.hpp:126-129)
+        salient = np.where(sims < MIN_SHARED_SCORE, np.minimum(salient, 1.0), salient)
+        if self.temporal is not None:
+            self.temporal.update(sims)
+        limit = k - exclude_recent
+        order = np.argsort(-salient[:limit], kind="stable")
+        return [
+            int(i)
+            for i in order[:MAX_CANDIDATES]
+            if salient[i] > SALIENT_THRESHOLD
+        ]

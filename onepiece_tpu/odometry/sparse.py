@@ -50,6 +50,7 @@ class SparseTrackingResult(NamedTuple):
     corr_src: jax.Array  # (K, 3) matched source points (masked)
     corr_dst: jax.Array  # (K, 3) matched target points
     corr_valid: jax.Array  # (K,)
+    corr_idx: jax.Array  # (K,) matched TARGET keypoint index per source kp
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "max_keypoints", "threshold"))
@@ -122,8 +123,9 @@ def _match_and_estimate(
     rmse = jnp.where(use2, res2.rmse, res1.rmse)
     corr_dst = jnp.where(use2, dst2, dst_pts)
     corr_ok = jnp.where(use2, res2.inliers, res1.inliers)
+    corr_idx = jnp.where(use2, idx2, idx)
     return SparseTrackingResult(
-        T, nin, rmse, nin >= MIN_INLIERS, src_pts, corr_dst, corr_ok
+        T, nin, rmse, nin >= MIN_INLIERS, src_pts, corr_dst, corr_ok, corr_idx
     )
 
 

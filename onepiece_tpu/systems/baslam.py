@@ -65,11 +65,11 @@ class BASlam:
         src_frame = self.keyframe_frames[src_kf]
         dst_frame = self.keyframe_frames[dst_kf]
         v = np.asarray(res.corr_valid)
-        # recover which dst keypoint each src keypoint matched by proximity of
-        # the stored corr_dst points to dst's keypoint 3D points
+        # the matched dst keypoint index is carried through the tracking
+        # result (corr_idx) — no proximity recovery, so co-located keypoints
+        # link unambiguously
         src_pts = np.asarray(res.corr_src)
-        dst_pts = np.asarray(res.corr_dst)
-        dst_kp_pts = np.asarray(dst_frame.points)
+        match_j = np.asarray(res.corr_idx)
         linked = 0
         src_tracks = self.track_of_kp[src_kf]
         dst_tracks = self.track_of_kp[dst_kf]
@@ -77,11 +77,7 @@ class BASlam:
         dst_uv = np.asarray(dst_frame.kp.uv)
         T_src = self.keyframe_poses[src_kf]
         for i in np.nonzero(v)[0]:
-            # find the dst keypoint index for this correspondence
-            d = np.linalg.norm(dst_kp_pts - dst_pts[i], axis=-1)
-            j = int(np.argmin(d))
-            if d[j] > 1e-4:
-                continue
+            j = int(match_j[i])
             tid = src_tracks[i]
             if tid < 0 and dst_tracks[j] >= 0:
                 tid = dst_tracks[j]

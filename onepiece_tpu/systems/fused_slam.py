@@ -298,7 +298,9 @@ class FusedDenseFusion:
 
         grays/depths: (K, H, W); rgbs optional (K, H, W, 3). Frame 0 of the
         whole run still goes through `fused_init_step` (pool allocation), so
-        the first chunk dispatches init + a (K-1)-frame scan.
+        the first chunk dispatches init + a (K-1)-frame scan. Each distinct
+        chunk length K compiles its own scan executable — feed fixed-size
+        chunks (pad the tail) to avoid recompiles.
         """
         grays = jnp.asarray(grays, jnp.float32)
         depths = jnp.asarray(depths, jnp.float32)
@@ -314,6 +316,8 @@ class FusedDenseFusion:
             if grays.shape[0] == 0:
                 return
         k = grays.shape[0]
+        if k == 0:
+            return
         self.frame_count += k
         self._state, outs = fused_chunk_step(
             self._state, grays, depths, rgbs, self.camera,

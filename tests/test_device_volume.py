@@ -150,7 +150,12 @@ class TestPallasIntegrate:
 
     def test_f32_image_path_matches_packed_gray(self, frame):
         """(2, H, W) f32 [depth, gray] input == pack_image_gray bit-exactly
-        (the in-kernel hi/lo split is the same arithmetic as the pack)."""
+        (the in-kernel hi/lo split is the same arithmetic as the pack).
+
+        This asserts interpret-mode equivalence; the same claim on real
+        hardware through Mosaic (interpret=False) is verified by
+        tools/tpu_selfcheck.py, which passed bit-exact on TPU v5e
+        (2026-08-21, incl. Mosaic-vs-interpret agreement)."""
         depth, rgb, bc, (fx, fy, cx, cy) = frame
         gray = rgb[..., 0]
         nb = len(bc)

@@ -72,3 +72,52 @@ def test_ba_slam_short_sequence():
     # BA ran and produced a finite reprojection error
     mse = slam.optimize()
     assert mse is None or mse < 25.0, mse
+
+
+def test_ba_slam_link_tracks_colocated_keypoints():
+    """Two dst keypoints at the SAME 3D position must link unambiguously:
+    the match index is carried through the tracking result (corr_idx), not
+    recovered by nearest-3D search (which would pick arbitrarily)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from onepiece_tpu.odometry import sparse as sp
+    from onepiece_tpu.systems.baslam import BASlam
+
+    slam = BASlam(CAM, max_keypoints=4)
+    K = 4
+    uv_src = np.array([[10, 10], [20, 20], [30, 30], [40, 40]], np.float32)
+    # dst keypoints 1 and 2 share an identical 3D point
+    pts_dst = np.array(
+        [[0.1, 0.1, 1.0], [0.5, 0.5, 2.0], [0.5, 0.5, 2.0], [0.9, 0.1, 1.5]],
+        np.float32,
+    )
+    uv_dst = np.array([[11, 10], [21, 20], [22, 21], [41, 40]], np.float32)
+    pts_src = pts_dst.copy()
+
+    def fake_frame(uv, pts):
+        kp = types.SimpleNamespace(
+            uv=jnp.asarray(uv), desc=jnp.zeros((K, 8), jnp.uint32),
+            valid=jnp.ones(K, bool),
+        )
+        return sp.SparseFrame(kp, jnp.asarray(pts), jnp.ones(K, bool))
+
+    slam.keyframe_frames = [fake_frame(uv_src, pts_src), fake_frame(uv_dst, pts_dst)]
+    slam.keyframe_poses = [np.eye(4, dtype=np.float32), np.eye(4, dtype=np.float32)]
+    slam.track_of_kp = [np.full(K, -1, np.int64), np.full(K, -1, np.int64)]
+
+    res = sp.SparseTrackingResult(
+        T_ts=jnp.eye(4), num_inliers=jnp.int32(4), rmse=jnp.float32(0.0),
+        success=jnp.bool_(True), corr_src=jnp.asarray(pts_src),
+        corr_dst=jnp.asarray(pts_dst), corr_valid=jnp.ones(K, bool),
+        corr_idx=jnp.asarray([0, 2, 1, 3]),  # src 1 -> dst 2, src 2 -> dst 1
+    )
+    linked = slam._link_tracks(0, 1, res)
+    assert linked == 4
+    src_tracks = slam.track_of_kp[0]
+    dst_tracks = slam.track_of_kp[1]
+    # src kp 1 must share a track with dst kp 2 (its true match), not dst 1
+    assert src_tracks[1] == dst_tracks[2]
+    assert src_tracks[2] == dst_tracks[1]
+    assert len(set(src_tracks.tolist())) == 4  # four distinct world points

@@ -49,7 +49,6 @@ def main():
             T_rel = res.T_ts
             Tn = np.asarray(T_rel)
             est.append(est[-1] @ np.linalg.inv(Tn))
-            gt_rel = np.linalg.inv(poses[i - 1]) @ poses[i]  # T world chain
             # our T_ts maps source->target camera: gt equivalent
             gt_ts = np.linalg.inv(np.asarray(poses[i])) @ np.asarray(poses[i - 1])
             d = np.linalg.inv(gt_ts) @ Tn
