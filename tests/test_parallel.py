@@ -76,3 +76,45 @@ def test_mc_sharded_and_migration_match_single_device(mesh, cam):
     # self-checking: sharded halo-exchange meshing == single-device mesh,
     # and the mesh survives all_to_all block migration unchanged
     mc.dryrun(mesh, cam)
+
+
+def test_submap_parallel_matches_serial(mesh, cam):
+    """One submap per device (SURVEY axis 4): the sharded pipeline
+    (ppermute consecutive ICP, all_gather loop registration, replicated
+    pose-graph solve) must reproduce the serial run of the same stages."""
+    import jax.numpy as jnp
+
+    from onepiece_tpu.parallel import submap
+    from onepiece_tpu.utils import synthetic
+
+    small = TUM_CAMERA.pyramid(3)[-1]  # 160x120
+    s, f = 8, 4
+    scene = synthetic.default_scene()
+    poses = synthetic.orbit_trajectory(s * f)
+    grays = []
+    depths = []
+    for i in range(s * f):
+        d, g = synthetic.render(
+            scene, jnp.asarray(poses[i]), small.fx, small.fy, small.cx,
+            small.cy, small.height, small.width, num_steps=48,
+        )
+        grays.append(np.asarray(g))
+        depths.append(np.asarray(d))
+    grays = np.stack(grays).reshape(s, f, small.height, small.width)
+    depths = np.stack(depths).reshape(s, f, small.height, small.width)
+
+    kw = dict(voxel_size=0.05, cloud_capacity=512)
+    fp_ser, base_ser, edges_ser = submap.submap_pipeline_serial(
+        grays, depths, small, **kw
+    )
+    fp_sh, base_sh, edges_sh = submap.submap_pipeline_sharded(
+        grays, depths, small, mesh, **kw
+    )
+    assert np.array_equal(np.asarray(edges_sh.valid), np.asarray(edges_ser.valid))
+    # the sharded body compiles with different XLA fusion than the serial
+    # jits, so 28-iteration GN reductions reassociate; chained over 8
+    # submaps that bounds the pose difference at a few mm, not bit-equality
+    np.testing.assert_allclose(base_sh, base_ser, atol=1e-2)
+    np.testing.assert_allclose(fp_sh, fp_ser, atol=1e-2)
+    # the consecutive-ICP edges must actually have fired
+    assert np.asarray(edges_sh.valid)[1:, 0].sum() >= s - 2

@@ -69,6 +69,29 @@ def main():
         pba.dryrun(mesh)
         ptsdf.dryrun(mesh, cam)
         print(f"mesh size {n}: sharded pipelines ok")
+
+    # submap axis (SURVEY §2.10 axis 4): one submap per device, sharded
+    # pipeline vs the serial run of the same stages
+    from onepiece_tpu.parallel import submap as psubmap
+
+    s, f = min(4, len(all_devices)), 3
+    poses = synthetic.orbit_trajectory(s * f)
+    gs, ds = [], []
+    for i in range(s * f):
+        d_i, g_i = synthetic.render(
+            scene, jnp.asarray(poses[i]), cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.height, cam.width, num_steps=48,
+        )
+        gs.append(np.asarray(g_i))
+        ds.append(np.asarray(d_i))
+    gs = np.stack(gs).reshape(s, f, cam.height, cam.width)
+    ds = np.stack(ds).reshape(s, f, cam.height, cam.width)
+    mesh_s = Mesh(np.array(all_devices[:s]), ("d",))
+    fp_ser, base_ser, _ = psubmap.submap_pipeline_serial(gs, ds, cam, cloud_capacity=512)
+    fp_sh, base_sh, _ = psubmap.submap_pipeline_sharded(gs, ds, cam, mesh_s, cloud_capacity=512)
+    err_sm = np.abs(fp_sh - fp_ser).max()
+    print(f"submap axis ({s} submaps x {f} frames): sharded vs serial max err {err_sm:.2e}")
+    assert err_sm < 1e-2
     base = results[1]
     for n, T in results.items():
         err = np.abs(T - base).max()
