@@ -82,6 +82,20 @@ def main() -> None:
     ate = traj.ate_rmse(est_poses, poses)
     base = _baseline()
     base_fps = float(base.get("dense_odometry_tsdf_fps_cpu", 1.0))
+
+    # secondary metric (BASELINE.md configs 3/4): sparse FBAFusion on the
+    # same rendered frames, vs bench_reference/ref_bench_sparse's CPU run
+    from onepiece_tpu.systems.fbaslam import FBASlam
+
+    warm_s = FBASlam(cam)
+    warm_s.process_chunk(grays, depths)
+    slam_s = FBASlam(cam)
+    t0 = time.perf_counter()
+    slam_s.process_chunk(grays, depths)
+    dt_s = time.perf_counter() - t0
+    sparse_fps = n_frames / dt_s
+    sparse_ate = traj.ate_rmse(slam_s.trajectory(), poses)
+    sparse_base = float(base.get("sparse_fba_fps_cpu", 1.0))
     print(
         json.dumps(
             {
@@ -97,6 +111,10 @@ def main() -> None:
                     "active_blocks": slam.num_active,
                     "block_overflow": slam.overflow,
                     "baseline_fps_cpu": base_fps,
+                    "sparse_fba_fps_chip": round(sparse_fps, 2),
+                    "sparse_fba_vs_baseline": round(sparse_fps / sparse_base, 3),
+                    "sparse_fba_ate_rmse_m": round(sparse_ate, 5),
+                    "sparse_fba_ate_ref_cpu": base.get("sparse_fba_ate_rmse_m_cpu"),
                 },
             }
         )

@@ -48,8 +48,9 @@ _ENERGY_FLOOR = math.exp(-20.0 * 20.0 / HAMMING_COVARIANCE)
 def _similarity_scores(
     q_desc: jax.Array,  # (N, 8) uint32
     q_valid: jax.Array,  # (N,)
-    db_desc: jax.Array,  # (K, F, 8) uint32
+    db_desc: jax.Array,  # (K, F, 8) uint32 (capacity-padded)
     db_valid: jax.Array,  # (K, F)
+    num_keyframes: jax.Array | None = None,  # () actual K for the idf
 ) -> jax.Array:
     """(K,) tf-idf similarity of the query frame to each stored keyframe.
 
@@ -58,7 +59,7 @@ def _similarity_scores(
     within distance 64 contributes its LUT similarity (the hash version
     misses pairs that share no bucket; the exhaustive scan is exact).
     """
-    kdb = db_desc.shape[0]
+    kdb = db_desc.shape[0] if num_keyframes is None else num_keyframes
     x = jnp.bitwise_xor(q_desc[:, None, None, :], db_desc[None, :, :, :])
     d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)  # (N, K, F)
     sim = jnp.exp(-jnp.square(jnp.maximum(d, 10.0)) / HAMMING_COVARIANCE)
@@ -210,13 +211,49 @@ class LoopClosureDetector:
         return k
 
     def similarity(self, desc: jax.Array, valid: jax.Array) -> np.ndarray:
-        """(num_keyframes,) tf-idf similarity scores of a query frame."""
+        """(num_keyframes,) tf-idf similarity scores of a query frame.
+
+        The query runs over the CAPACITY-padded DB (invalid rows masked) so
+        the jitted kernel recompiles only when the capacity doubles, not on
+        every insert — per-keyframe recompiles through a remote-chip tunnel
+        dominated the sparse systems' frame time.
+        """
         k = self.num_keyframes
         if k == 0:
             return np.zeros(0, np.float32)
-        return np.asarray(
-            _similarity_scores(desc, valid, self.db[:k], self.db_valid[:k])
+        sims = np.asarray(
+            _similarity_scores(
+                desc, valid, self.db, self.db_valid, jnp.int32(k)
+            )
         )
+        return sims[:k]
+
+    def similarity_batch(self, descs: jax.Array, valids: jax.Array) -> np.ndarray:
+        """(Q, num_keyframes) tf-idf scores for Q query frames in ONE
+        dispatch + fetch (chunked systems batch their LC queries)."""
+        k = self.num_keyframes
+        if k == 0:
+            return np.zeros((descs.shape[0], 0), np.float32)
+        sims = np.asarray(
+            jax.lax.map(
+                lambda dv: _similarity_scores(
+                    dv[0], dv[1], self.db, self.db_valid, jnp.int32(k)
+                ),
+                (descs, valids),
+            )
+        )
+        return sims[:, :k]
+
+    def candidates_from_sims(self, sims: np.ndarray, limit: int) -> list[int]:
+        """Candidate selection from precomputed similarity scores,
+        considering only keyframes with index < limit."""
+        if limit <= 0:
+            return []
+        sims = sims[:limit]
+        salient = salient_scores(sims)
+        salient = np.where(sims < MIN_SHARED_SCORE, np.minimum(salient, 1.0), salient)
+        order = np.argsort(-salient, kind="stable")
+        return [int(i) for i in order[:MAX_CANDIDATES] if salient[i] > SALIENT_THRESHOLD]
 
     def select_candidates(
         self,

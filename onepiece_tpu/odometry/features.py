@@ -105,16 +105,58 @@ def _nms(score: jax.Array, radius: int = 1) -> jax.Array:
     return jnp.where(score >= m, score, 0.0)
 
 
-def _orientation_maps(gray: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Dense intensity-centroid moments m10, m01 over the 31x31 patch."""
+NUM_ANGLE_BINS = 30  # steered-BRIEF orientation discretisation (12 deg)
+_P = 2 * PATCH_RADIUS + 1  # 31
+
+# moment masks for the intensity-centroid orientation, applied to the
+# gathered patch (not as dense image convs — two 961-tap convolutions per
+# frame cost more than the whole detector)
+_ys, _xs = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
+_disk = (_xs**2 + _ys**2) <= PATCH_RADIUS * PATCH_RADIUS
+_KX = (_xs * _disk).astype(np.float32)
+_KY = (_ys * _disk).astype(np.float32)
+
+
+def _build_brief_selector() -> np.ndarray:
+    """(P*P, NUM_ANGLE_BINS * 512) one-hot: column (b*512 + s) reads the
+    patch pixel of BRIEF tap s rotated by angle bin b. Lets the steered
+    sampling run as ONE patch x selector matmul on the MXU instead of
+    512 data-dependent gathers per keypoint."""
+    sel = np.zeros((NUM_ANGLE_BINS, BRIEF_BITS * 2, _P * _P), np.float32)
+    for b in range(NUM_ANGLE_BINS):
+        ang = 2.0 * np.pi * b / NUM_ANGLE_BINS
+        ca, sa = np.cos(ang), np.sin(ang)
+        for s in range(BRIEF_BITS):
+            for pt in range(2):
+                dy, dx = BRIEF_PATTERN[s, pt]
+                rx = int(np.clip(np.round(ca * dx - sa * dy), -PATCH_RADIUS + 1, PATCH_RADIUS - 1))
+                ry = int(np.clip(np.round(sa * dx + ca * dy), -PATCH_RADIUS + 1, PATCH_RADIUS - 1))
+                sel[b, s * 2 + pt, (ry + PATCH_RADIUS) * _P + (rx + PATCH_RADIUS)] = 1.0
+    return sel.reshape(NUM_ANGLE_BINS * BRIEF_BITS * 2, _P * _P).T.copy()
+
+
+_BRIEF_SELECTOR = _build_brief_selector()  # (961, 30*512)
+
+
+def _gather_patches(img: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array:
+    """(K,) int keypoint coords -> (K, 31, 31) patches. 31 row-gathers.
+
+    Gather cost on TPU is per-INDEX (see odometry/dense.py's pre-warp):
+    packing each pixel's 31-wide x-window into row channels turns the
+    patch extraction into 31 gathers of K indices (31K total) instead of
+    K*961 scalar gathers.
+    """
+    h, w = img.shape
     r = PATCH_RADIUS
-    ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
-    disk = (xs**2 + ys**2) <= r * r
-    kx = (xs * disk).astype(np.float32)
-    ky = (ys * disk).astype(np.float32)
-    m10 = image_ops._conv2d_same(gray, kx[::-1, ::-1])  # correlation with +x weights
-    m01 = image_ops._conv2d_same(gray, ky[::-1, ::-1])
-    return m10, m01
+    padded = jnp.pad(img, ((0, 0), (r, r)))
+    rows = jnp.stack(
+        [padded[:, i : i + w] for i in range(_P)], axis=-1
+    ).reshape(h * w, _P)  # rows[v*w+u] = img[v, u-r : u+r+1]
+    out = []
+    for dy in range(-r, r + 1):
+        idx = (sy + dy) * w + sx
+        out.append(rows[idx])  # (K, 31)
+    return jnp.stack(out, axis=1)  # (K, 31, 31)
 
 
 @functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius"))
@@ -140,22 +182,28 @@ def detect_and_describe(
     uv = jnp.stack([vx, vy], axis=-1)
     valid = score > 0.0
 
-    m10d, m01d = _orientation_maps(gray)
-    m10 = m10d.reshape(-1)[idx]
-    m01 = m01d.reshape(-1)[idx]
+    # ONE patch gather feeds both the orientation moments and the BRIEF
+    # taps; the blurred image serves both (BRIEF smoothing as in ORB, and
+    # orientation from the same patch — only cross-frame consistency of
+    # the angle matters, which blurring preserves).
+    blurred = image_ops.gaussian_blur(gray)
+    sx = idx % w
+    sy = idx // w
+    patches = _gather_patches(blurred, sx, sy)  # (K, 31, 31)
+    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_KX))
+    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_KY))
     angle = jnp.arctan2(m01, m10)
 
-    # steered BRIEF on the blurred image
-    blurred = image_ops.gaussian_blur(gray)
-    pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)  # (256, 2, 2) (dy, dx)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
-    dy = pat[None, :, :, 0]  # (1, 256, 2)
-    dx = pat[None, :, :, 1]
-    rx = ca[:, None, None] * dx - sa[:, None, None] * dy  # (K, 256, 2)
-    ry = sa[:, None, None] * dx + ca[:, None, None] * dy
-    sx = jnp.clip(jnp.round(uv[:, None, None, 0] + rx), 0, w - 1).astype(jnp.int32)
-    sy = jnp.clip(jnp.round(uv[:, None, None, 1] + ry), 0, h - 1).astype(jnp.int32)
-    samples = blurred.reshape(-1)[sy * w + sx]  # (K, 256, 2)
+    # steered BRIEF: all 30 angle bins' taps in one MXU matmul, then a
+    # one-hot bin select — zero data-dependent gathers
+    abin = jnp.round(angle / (2.0 * np.pi / NUM_ANGLE_BINS)).astype(jnp.int32) % NUM_ANGLE_BINS
+    taps_all = jax.lax.dot_general(
+        patches.reshape(-1, _P * _P), jnp.asarray(_BRIEF_SELECTOR),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(-1, NUM_ANGLE_BINS, BRIEF_BITS * 2)
+    onehot = (abin[:, None] == jnp.arange(NUM_ANGLE_BINS)[None]).astype(jnp.float32)
+    samples = jnp.einsum("kbs,kb->ks", taps_all, onehot).reshape(-1, BRIEF_BITS, 2)
     bits = samples[..., 0] < samples[..., 1]  # (K, 256)
 
     weights = jnp.asarray((1 << np.arange(32)).astype(np.int64) % (1 << 32), jnp.uint32)

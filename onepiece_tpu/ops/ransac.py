@@ -47,16 +47,24 @@ def ransac_rigid(
     threshold: float | jax.Array = 0.05,
     num_hypotheses: int = 400,
     sample_size: int = 8,
+    norm_z: jax.Array | None = None,
 ) -> RansacResult:
     """All-hypotheses-at-once rigid RANSAC with weighted-Kabsch refit.
 
     Defaults match RANSAC3d (ref: SparseOdometryFunction.cpp:10-55).
+    With `norm_z` (per-correspondence depths), the inlier gate becomes the
+    reference's DEPTH-NORMALISED reprojection error
+    ||T p - q|| / z <= threshold (ref: SparseOdometryFunction.cpp:56-61
+    `ReprojectionError3D`, threshold REPROJECTION_ERROR_3D_THRESHOLD=0.01)
+    — an absolute gate over-trusts far points, whose keypoint localisation
+    error grows linearly with depth.
     """
+    thr2 = jnp.square(threshold * norm_z) if norm_z is not None else threshold * threshold
     idx = _sample_indices(key, valid, num_hypotheses, sample_size)
     Ts = jax.vmap(transforms.kabsch)(src[idx], dst[idx])  # (H, 4, 4)
     pred = jnp.einsum("hij,nj->hni", Ts[:, :3, :3], src) + Ts[:, None, :3, 3]
     d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)  # (H, N)
-    inl = (d2 < threshold * threshold) & valid[None, :]
+    inl = (d2 < thr2) & valid[None, :]
     counts = jnp.sum(inl, axis=-1)
     best = jnp.argmax(counts)
     best_inl = inl[best]
@@ -65,7 +73,7 @@ def ransac_rigid(
     T_refit = transforms.kabsch(src, dst, w)
     pred_r = src @ T_refit[:3, :3].T + T_refit[:3, 3]
     d2_r = jnp.sum((pred_r - dst) ** 2, axis=-1)
-    inl_r = (d2_r < threshold * threshold) & valid
+    inl_r = (d2_r < thr2) & valid
     # guard: refit must not be worse than the raw best hypothesis
     better = jnp.sum(inl_r) >= counts[best]
     T_out = jnp.where(better, T_refit, Ts[best])

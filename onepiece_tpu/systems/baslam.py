@@ -20,14 +20,14 @@ from ..geometry.camera import PinholeCamera
 from ..lcdetection.mild import LoopClosureDetector
 from ..odometry import sparse
 from ..optimization import bundle
-from .keyframe_slam import KEYFRAME_DISPARITY, KeyframeSlamState, average_disparity
+from .keyframe_slam import KEYFRAME_DISPARITY, KeyframeSlamState
 
 
 @dataclasses.dataclass
 class BASlam:
     camera: PinholeCamera
     max_keypoints: int = 1000
-    fast_threshold: float = 0.05
+    fast_threshold: float = 0.01
     keyframe_disparity: float = KEYFRAME_DISPARITY
     ba_every: int = 1  # run BA on every ba_every-th keyframe
 
@@ -50,8 +50,10 @@ class BASlam:
         )
 
     def _track(self, src, tgt):
+        """Track + fetch the scalar summary in ONE host transfer."""
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
-        return sparse.sparse_tracking(src, tgt, self.camera, key)
+        res, summ = sparse.sparse_tracking_with_summary(src, tgt, self.camera, key)
+        return res, jax.device_get(summ)
 
     def _add_observation(self, kf: int, pid: int, uv: np.ndarray) -> None:
         self.observations.append((kf, pid, float(uv[0]), float(uv[1])))
@@ -110,28 +112,24 @@ class BASlam:
             return {"frame": 0, "keyframe": True, "success": True}
 
         kf_idx = len(self.keyframe_frames) - 1
-        res = self._track(self.keyframe_frames[kf_idx], frame)
-        success = bool(res.success)
+        res, summ = self._track(self.keyframe_frames[kf_idx], frame)
+        success = bool(summ.success)
         if not success:
             for cand in self.lcd.select_candidates(frame.kp.desc, frame.valid, exclude_recent=0):
-                res_c = self._track(self.keyframe_frames[cand], frame)
-                if bool(res_c.success):
-                    kf_idx, res, success = cand, res_c, True
+                res_c, summ_c = self._track(self.keyframe_frames[cand], frame)
+                if bool(summ_c.success):
+                    kf_idx, res, summ, success = cand, res_c, summ_c, True
                     break
         if not success:
             last = self.state.poses[-1]
             self.state.add_frame(last, kf_idx, np.linalg.inv(self.keyframe_poses[kf_idx]) @ last, False)
             return {"frame": fidx, "keyframe": False, "success": False}
 
-        T_rel = np.linalg.inv(np.asarray(res.T_ts))
+        T_rel = np.linalg.inv(np.asarray(summ.T_ts))
         T_world = self.keyframe_poses[kf_idx] @ T_rel
         self.state.add_frame(T_world, kf_idx, T_rel, True)
 
-        v = np.asarray(res.corr_valid)
-        uvs_t, _ = self.camera.project(jnp.asarray(np.asarray(res.corr_dst)))
-        disp = average_disparity(
-            np.asarray(self.keyframe_frames[kf_idx].kp.uv), np.asarray(uvs_t), v
-        )
+        disp = float(summ.disparity)
         if disp < self.keyframe_disparity:
             return {"frame": fidx, "keyframe": False, "success": True, "disparity": disp}
 
@@ -145,8 +143,8 @@ class BASlam:
         for cand in self.lcd.select_candidates(frame.kp.desc, frame.valid):
             if cand == kf_idx:
                 continue
-            res_c = self._track(self.keyframe_frames[cand], frame)
-            if bool(res_c.success):
+            res_c, summ_c = self._track(self.keyframe_frames[cand], frame)
+            if bool(summ_c.success):
                 self._link_tracks(cand, new_kf, res_c)
 
         self.lcd.insert(frame.kp.desc, frame.valid)

@@ -30,7 +30,7 @@ from ..geometry.camera import PinholeCamera
 from ..lcdetection.mild import LoopClosureDetector
 from ..odometry import sparse
 from ..optimization import posegraph
-from .keyframe_slam import KEYFRAME_DISPARITY, KeyframeSlamState, average_disparity
+from .keyframe_slam import KEYFRAME_DISPARITY, KeyframeSlamState
 
 MAX_EDGE_CORRS = 256
 
@@ -39,7 +39,7 @@ MAX_EDGE_CORRS = 256
 class FBASlam:
     camera: PinholeCamera
     max_keypoints: int = 1000
-    fast_threshold: float = 0.05
+    fast_threshold: float = 0.01
     keyframe_disparity: float = KEYFRAME_DISPARITY
 
     def __post_init__(self):
@@ -60,8 +60,10 @@ class FBASlam:
         )
 
     def _track(self, src: sparse.SparseFrame, tgt: sparse.SparseFrame):
+        """Track + fetch the scalar summary in ONE host transfer."""
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
-        return sparse.sparse_tracking(src, tgt, self.camera, key)
+        res, summ = sparse.sparse_tracking_with_summary(src, tgt, self.camera, key)
+        return res, jax.device_get(summ)
 
     def _add_edge(self, src_kf: int, dst_kf: int, res) -> None:
         v = np.asarray(res.corr_valid)
@@ -89,16 +91,16 @@ class FBASlam:
             return {"frame": 0, "keyframe": True, "success": True}
 
         kf_idx = len(self.keyframe_frames) - 1
-        res = self._track(self.keyframe_frames[kf_idx], frame)
-        success = bool(res.success)
+        res, summ = self._track(self.keyframe_frames[kf_idx], frame)
+        success = bool(summ.success)
 
         if not success:
             # relocalisation against loop-closure candidates (ref :103-108)
             for cand in self.lcd.select_candidates(frame.kp.desc, frame.valid, exclude_recent=0):
-                res_c = self._track(self.keyframe_frames[cand], frame)
-                if bool(res_c.success):
+                res_c, summ_c = self._track(self.keyframe_frames[cand], frame)
+                if bool(summ_c.success):
                     kf_idx = cand
-                    res = res_c
+                    res, summ = res_c, summ_c
                     success = True
                     break
 
@@ -108,18 +110,13 @@ class FBASlam:
             self.state.add_frame(last, kf_idx, np.linalg.inv(self.keyframe_poses[kf_idx]) @ last, False)
             return {"frame": fidx, "keyframe": False, "success": False}
 
-        T_ts = np.asarray(res.T_ts)  # kf -> current
+        T_ts = np.asarray(summ.T_ts)  # kf -> current (already fetched)
         T_rel = np.linalg.inv(T_ts)  # current in kf coords: T_kf_cur
         T_world = self.keyframe_poses[kf_idx] @ T_rel
         self.state.add_frame(T_world, kf_idx, T_rel, True)
 
-        # keyframe decision on inlier disparity (ref :32-41)
-        v = np.asarray(res.corr_valid)
-        uv_kf = np.asarray(self.keyframe_frames[kf_idx].kp.uv)
-        pred = np.asarray(res.corr_dst)  # matched target points (3D)
-        # disparity in pixels between keyframe keypoints and their matches
-        uvs_t, _ = self.camera.project(jnp.asarray(pred))
-        disp = average_disparity(uv_kf, np.asarray(uvs_t), v)
+        # keyframe decision on inlier disparity (ref :32-41), device-computed
+        disp = float(summ.disparity)
         is_kf = disp >= self.keyframe_disparity
         if not is_kf:
             return {"frame": fidx, "keyframe": False, "success": True, "disparity": disp}
@@ -135,13 +132,156 @@ class FBASlam:
         for cand in self.lcd.select_candidates(frame.kp.desc, frame.valid):
             if cand == kf_idx:
                 continue
-            res_c = self._track(self.keyframe_frames[cand], frame)
-            if bool(res_c.success):
+            res_c, summ_c = self._track(self.keyframe_frames[cand], frame)
+            if bool(summ_c.success):
                 self._add_edge(cand, new_kf, res_c)
 
         self.lcd.insert(frame.kp.desc, frame.valid)
         self.optimize()
         return {"frame": fidx, "keyframe": True, "success": True, "disparity": disp}
+
+    def process_chunk(self, grays: np.ndarray, depths: np.ndarray) -> dict:
+        """Process K frames with ONE on-device keyframe-selection scan.
+
+        TPU-first reshaping of the reference's per-frame loop (ref
+        FBAFusion.cpp:38-47): extraction and tracking-with-promotion run
+        as single dispatches (odometry/sparse.py `sparse_chunk_scan`);
+        loop-closure queries, edge building, and the pose-graph solve are
+        batched at the chunk boundary (deferred <= one chunk vs the
+        reference's per-keyframe schedule). Host<->device syncs per chunk:
+        ~6, independent of frame or keyframe count. Tracking failures keep
+        the previous pose (no in-chunk relocalisation).
+        """
+        import os as _os
+        import time as _time
+
+        import jax as _jax
+
+        _timing = _os.environ.get("ONEPIECE_TIMING")
+        _t0 = _time.perf_counter()
+
+        def _tick(name):
+            nonlocal _t0
+            if _timing:
+                now = _time.perf_counter()
+                print(f"  [chunk] {name}: {(now - _t0) * 1e3:.0f} ms", flush=True)
+                _t0 = now
+
+        k = int(grays.shape[0])
+        frames = sparse.extract_sparse_frames_batch(
+            jnp.asarray(grays, jnp.float32), jnp.asarray(depths, jnp.float32),
+            self.camera, max_keypoints=self.max_keypoints,
+            threshold=self.fast_threshold,
+        )
+        first = self.frame_count == 0
+        if first:
+            f0 = _jax.tree.map(lambda a: a[0], frames)
+            self.keyframe_frames.append(f0)
+            self.keyframe_poses.append(np.eye(4, dtype=np.float32))
+            self.state.promote_keyframe(0)
+            self.lcd.insert(f0.kp.desc, f0.valid)
+            self.state.add_frame(np.eye(4), 0, np.eye(4), True)
+            self.frame_count = 1
+            frames = _jax.tree.map(lambda a: a[1:], frames)
+            k -= 1
+            if k == 0:
+                return {"frames": 1, "keyframes": 1}
+
+        kf_entry_idx = len(self.keyframe_frames) - 1
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        (kf_frame_out, kf_pose_out), outs = sparse.sparse_chunk_scan(
+            self.keyframe_frames[-1],
+            jnp.asarray(self.keyframe_poses[-1], jnp.float32),
+            frames, self.camera, key, self.keyframe_disparity,
+        )
+        _tick("extract+scan dispatch")
+        # ONE summary fetch for the whole chunk
+        T_world, is_kf, ok, rmse, disp = jax.device_get(
+            (outs.T_world, outs.is_kf, outs.success, outs.rmse, outs.disparity)
+        )
+        _tick("summary fetch")
+        kf_rows = np.nonzero(is_kf)[0]
+        # fetch edge correspondences for promoted frames only (one fetch)
+        if len(kf_rows):
+            rows = jnp.asarray(kf_rows)
+            csrc, cdst, cval = jax.device_get(
+                (outs.corr_src[rows], outs.corr_dst[rows], outs.corr_valid[rows])
+            )
+
+        _tick("edge corr fetch")
+        new_kf_global = []  # global keyframe index per promoted row
+        for i in range(k):
+            fidx = self.frame_count
+            self.frame_count += 1
+            src_kf = len(self.keyframe_frames) - 1
+            T_rel = np.linalg.inv(self.keyframe_poses[src_kf]) @ T_world[i]
+            self.state.add_frame(T_world[i], src_kf, T_rel, bool(ok[i]))
+            if not is_kf[i]:
+                continue
+            j = int(np.searchsorted(kf_rows, i))
+            frame_i = _jax.tree.map(lambda a: a[i], frames)
+            new_kf = len(self.keyframe_frames)
+            self.keyframe_frames.append(frame_i)
+            self.keyframe_poses.append(T_world[i].astype(np.float32))
+            self.state.promote_keyframe(fidx)
+            v = cval[j]
+            self.edges.append({
+                "src": src_kf, "dst": new_kf,
+                "p_src": csrc[j][v][:MAX_EDGE_CORRS],
+                "p_dst": cdst[j][v][:MAX_EDGE_CORRS],
+            })
+            self.lcd.insert(frame_i.kp.desc, frame_i.valid)
+            new_kf_global.append(new_kf)
+
+        _tick("promotion walk")
+        # batched loop closure for the chunk's new keyframes
+        if new_kf_global:
+            descs = jnp.stack([self.keyframe_frames[g].kp.desc for g in new_kf_global])
+            valids = jnp.stack([self.keyframe_frames[g].valid for g in new_kf_global])
+            sims = self.lcd.similarity_batch(descs, valids)
+            pairs = []
+            for q, g in enumerate(new_kf_global):
+                for cand in self.lcd.candidates_from_sims(sims[q], limit=g - 1):
+                    pairs.append((cand, g))
+            if pairs:
+                srcs = _jax.tree.map(
+                    lambda *a: jnp.stack(a),
+                    *[self.keyframe_frames[c] for c, _ in pairs],
+                )
+                tgts = _jax.tree.map(
+                    lambda *a: jnp.stack(a),
+                    *[self.keyframe_frames[g] for _, g in pairs],
+                )
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31))), len(pairs)
+                )
+                # lax.map, not vmap: vmapped RANSAC/top-k lowers poorly
+                res_b, summ_b = jax.lax.map(
+                    lambda x: sparse.sparse_tracking_with_summary(
+                        x[1], x[2], self.camera, x[0]
+                    ),
+                    (keys, srcs, tgts),
+                )
+                succ = np.asarray(summ_b.success)
+                good = np.nonzero(succ)[0]
+                if len(good):
+                    gi = jnp.asarray(good)
+                    csrc2, cdst2, cval2 = jax.device_get(
+                        (res_b.corr_src[gi], res_b.corr_dst[gi], res_b.corr_valid[gi])
+                    )
+                    for n, b in enumerate(good):
+                        c, g = pairs[int(b)]
+                        v = cval2[n]
+                        self.edges.append({
+                            "src": c, "dst": g,
+                            "p_src": csrc2[n][v][:MAX_EDGE_CORRS],
+                            "p_dst": cdst2[n][v][:MAX_EDGE_CORRS],
+                        })
+        _tick("loop closure batch")
+        if new_kf_global:
+            self.optimize()
+        _tick("pose-graph optimize")
+        return {"frames": self.frame_count, "keyframes": len(self.keyframe_frames)}
 
     def optimize(self, iters: int = posegraph.DEFAULT_ITERS) -> None:
         """Pose-graph FastBA over keyframes + re-anchor all frames
@@ -149,8 +289,18 @@ class FBASlam:
         n = len(self.keyframe_poses)
         if n < 2 or not self.edges:
             return
-        edges = posegraph.build_edges(self.edges, corr_capacity=MAX_EDGE_CORRS)
-        poses0 = jnp.asarray(np.stack(self.keyframe_poses), jnp.float32)
+        # capacity bucketing: pad edge AND pose counts to powers of two so
+        # the jitted GN solve compiles once per doubling, not once per
+        # keyframe (each recompile through a remote-chip tunnel costs
+        # seconds and was the dominant per-keyframe cost)
+        e_cap = 1 << (len(self.edges) - 1).bit_length()
+        n_cap = 1 << (n - 1).bit_length()
+        edges = posegraph.build_edges(
+            self.edges, corr_capacity=MAX_EDGE_CORRS, num_edges_cap=e_cap
+        )
+        padded = np.tile(np.eye(4, dtype=np.float32), (n_cap, 1, 1))
+        padded[:n] = np.stack(self.keyframe_poses)
+        poses0 = jnp.asarray(padded)
         opt, _ = posegraph.optimize_pose_graph(poses0, edges, iters=iters)
         opt_np = np.asarray(opt)
         self.keyframe_poses = [opt_np[i] for i in range(n)]

@@ -121,3 +121,26 @@ def test_ba_slam_link_tracks_colocated_keypoints():
     assert src_tracks[1] == dst_tracks[2]
     assert src_tracks[2] == dst_tracks[1]
     assert len(set(src_tracks.tolist())) == 4  # four distinct world points
+
+
+def test_fba_slam_process_chunk():
+    """Chunked FBA (on-device keyframe-selection scan + batched LC) matches
+    the per-frame API's quality envelope on the same sequence."""
+    frames, gt = render_seq(14)
+    slam = FBASlam(CAM, fast_threshold=0.03, keyframe_disparity=10.0)
+    grays = np.stack([g for g, _ in frames])
+    depths = np.stack([d for _, d in frames])
+    slam.process_chunk(grays, depths)
+    est = slam.trajectory()
+    assert est.shape == (14, 4, 4)
+    ate = traj.ate_rmse(est, gt)
+    assert ate < 0.06, ate
+    assert len(slam.keyframe_frames) >= 2
+    assert len(slam.edges) >= len(slam.keyframe_frames) - 1
+    # chunk can be split arbitrarily: state carries across chunk boundaries
+    slam2 = FBASlam(CAM, fast_threshold=0.03, keyframe_disparity=10.0)
+    slam2.process_chunk(grays[:7], depths[:7])
+    slam2.process_chunk(grays[7:], depths[7:])
+    est2 = slam2.trajectory()
+    assert est2.shape == (14, 4, 4)
+    assert traj.ate_rmse(est2, gt) < 0.06
