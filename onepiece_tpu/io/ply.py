@@ -17,7 +17,12 @@ def write_ply_mesh(
     colors: np.ndarray | None = None,  # (V, 3) float in [0,1] or uint8
     normals: np.ndarray | None = None,  # (V, 3) float
     binary: bool = True,
+    labels: dict[str, np.ndarray] | None = None,  # extra int32 elements
 ) -> None:
+    """labels: named extra PLY elements (e.g. instance ids), one int32
+    property per element — the reference's AdditionalElement mechanism
+    (ref: src/Tool/PLYManager.h:15-34), used by its ScanNet label
+    workflow instead of squeezing labels through vertex colors."""
     v = np.asarray(vertices, np.float32)
     f = np.asarray(faces, np.int32)
     props = ["property float x", "property float y", "property float z"]
@@ -37,8 +42,15 @@ def write_ply_mesh(
         ["ply", f"format {'binary_little_endian' if binary else 'ascii'} 1.0"]
         + [f"element vertex {len(v)}"]
         + props
-        + [f"element face {len(f)}", "property list uchar int vertex_indices", "end_header"]
+        + [f"element face {len(f)}", "property list uchar int vertex_indices"]
     )
+    label_arrays = {}
+    if labels:
+        for name, arr in labels.items():
+            la = np.asarray(arr, np.int32)
+            label_arrays[name] = la
+            header += [f"element {name} {len(la)}", f"property int {name}"]
+    header += ["end_header"]
     vdata = np.zeros(len(v), dtype=fields)
     vdata["x"], vdata["y"], vdata["z"] = v[:, 0], v[:, 1], v[:, 2]
     if normals is not None:
@@ -55,11 +67,16 @@ def write_ply_mesh(
             fdata["n"] = 3
             fdata["a"], fdata["b"], fdata["c"] = f[:, 0], f[:, 1], f[:, 2]
             fh.write(fdata.tobytes())
+            for la in label_arrays.values():
+                fh.write(la.astype("<i4").tobytes())
         else:
             for row in vdata:
                 fh.write((" ".join(str(x) for x in row) + "\n").encode())
             for row in f:
                 fh.write(f"3 {row[0]} {row[1]} {row[2]}\n".encode())
+            for la in label_arrays.values():
+                for x in la:
+                    fh.write(f"{int(x)}\n".encode())
 
 
 def write_ply_pointcloud(
@@ -127,6 +144,11 @@ def read_ply(path: str) -> dict:
                 names = [p[0] for p in el["props"]]
                 stacked = np.stack([arr[n].astype(np.float64) for n in names], -1)
                 out.update(_vertex_dict(stacked, names))
+            else:
+                # extra label elements (ref: PLYManager.h AdditionalElement)
+                names = [p[0] for p in el["props"]]
+                col = arr[names[0]] if len(names) == 1 else arr
+                out.setdefault("labels", {})[el["name"]] = np.asarray(col)
         else:
             # face element with a single list property (the common case)
             faces = []

@@ -109,3 +109,30 @@ def scannet_to_tum(root: str, out: str, max_frames: int | None = None) -> None:
     for name, lines in (("rgb.txt", rgb_lines), ("depth.txt", depth_lines), ("groundtruth.txt", gt_lines)):
         with open(os.path.join(out, name), "w") as f:
             f.write("# converted from scannet\n" + "\n".join(lines) + "\n")
+
+
+def read_instance_info(root: str) -> tuple[np.ndarray, list[str]]:
+    """ScanNet instance labels: per-mesh-vertex object id (-1 unlabelled).
+
+    Parses `<scene>_vh_clean.segs.json` (segIndices: vertex -> segment) and
+    `<scene>_vh_clean.aggregation.json` (segGroups: object -> segments,
+    label) and composes them, exactly the reference's
+    `ReadIntanceInfoFromScannet` (ref: src/Tool/IO.cpp:199-309).
+    Returns (point2object (V,) int32, object names).
+    """
+    import json as _json
+
+    scene = os.path.basename(os.path.normpath(root))
+    with open(os.path.join(root, scene + "_vh_clean.segs.json")) as f:
+        point2segment = np.asarray(_json.load(f)["segIndices"], np.int64)
+    with open(os.path.join(root, scene + "_vh_clean.aggregation.json")) as f:
+        groups = _json.load(f)["segGroups"]
+    names = [g.get("label", "") for g in groups]
+    segment2object: dict[int, int] = {}
+    for oid, g in enumerate(groups):
+        for seg in g["segments"]:
+            segment2object[int(seg)] = oid
+    point2object = np.full(len(point2segment), -1, np.int32)
+    for i, seg in enumerate(point2segment):
+        point2object[i] = segment2object.get(int(seg), -1)
+    return point2object, names

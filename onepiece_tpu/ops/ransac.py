@@ -134,3 +134,61 @@ def ransapc_filter(
     consistent = jnp.abs(ds - dd) < tolerance
     votes = jnp.sum(consistent & valid[idx][None, :], axis=-1)
     return valid & (votes >= min_votes)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def homography_filter(
+    key: jax.Array,
+    uv_src: jax.Array,  # (N, 2) source pixel coords
+    uv_dst: jax.Array,  # (N, 2) matched target pixel coords
+    valid: jax.Array,  # (N,) bool
+    threshold: float = 6.0,
+    num_hypotheses: int = 256,
+) -> jax.Array:
+    """Homography-RANSAC 2D outlier filter on pixel matches.
+
+    (ref: src/Odometry/SparseOdometryFunction.h:102-127 `OutlierFilter::
+    Ransac` — cv::findHomography(CV_FM_RANSAC) with the 6 px
+    REPROJECTION_ERROR_2D_THRESHOLD, keeping inlier matches.) Batched:
+    all 4-point DLT hypotheses are solved at once (eigen-vector of the
+    9x9 normal matrix), scored by symmetric-free transfer error.
+    Returns the filtered validity mask.
+    """
+    # normalise for DLT conditioning (fixed similarity: center+scale)
+    center = jnp.array([320.0, 240.0], jnp.float32)
+    scale = jnp.float32(1.0 / 200.0)
+    s_n = (uv_src - center) * scale
+    d_n = (uv_dst - center) * scale
+
+    idx = _sample_indices(key, valid, num_hypotheses, 4)  # (H, 4)
+
+    def dlt(si):
+        p = s_n[si]  # (4, 2)
+        q = d_n[si]
+        x, y = p[:, 0], p[:, 1]
+        u, v = q[:, 0], q[:, 1]
+        z = jnp.zeros_like(x)
+        o = jnp.ones_like(x)
+        r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], -1)
+        r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], -1)
+        A = jnp.concatenate([r1, r2], axis=0)  # (8, 9)
+        # null vector of A: eigenvector of A^T A with smallest eigenvalue
+        w, V = jnp.linalg.eigh(A.T @ A)
+        return V[:, 0].reshape(3, 3)
+
+    Hs = jax.vmap(dlt)(idx)  # (H, 3, 3)
+    ones = jnp.ones((s_n.shape[0], 1), jnp.float32)
+    src_h = jnp.concatenate([s_n, ones], axis=-1)  # (N, 3)
+    proj = jnp.einsum("hij,nj->hni", Hs, src_h)
+    wz = proj[..., 2]
+    wz = jnp.where(jnp.abs(wz) > 1e-8, wz, 1e-8)
+    pred = proj[..., :2] / wz[..., None]
+    err = jnp.linalg.norm(pred - d_n[None], axis=-1) / scale  # back to pixels
+    inl = (err < threshold) & valid[None]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    # degenerate-sample guard: if no hypothesis beats half the matches,
+    # keep the input mask (cv::findHomography would fail and the reference
+    # proceeds with unfiltered matches)
+    ok = counts[best] >= jnp.maximum(4, jnp.sum(valid) // 4)
+    return jnp.where(ok, inl[best], valid)

@@ -308,3 +308,31 @@ def unpack_block_keys(keys) -> "np.ndarray":
     y = (k >> 10) & 1023
     z = k & 1023
     return np.stack([x, y, z], -1).astype(np.int64) - 512
+
+
+def debug_point_cloud(
+    sdf: "jax.Array",  # (B, 8, 8, 8) raw sdf (truncation-scaled meters)
+    weight: "jax.Array",  # (B, 8, 8, 8)
+    block_coords: "jax.Array",  # (B, 3) int
+    voxel_size: float,
+    truncation: float,
+):
+    """Near-surface voxel centers as a debug cloud.
+
+    (ref: src/Integration/CubeHandler.cpp:45-69 `GetPointCloud` — every
+    voxel with weight != 0 and |sdf| < truncation contributes its center,
+    colored gray by |sdf|/truncation.) Returns (points (B*512, 3),
+    colors (B*512, 3), valid (B*512,)).
+    """
+    b = sdf.shape[0]
+    centers = voxel_centers_world(block_coords, voxel_size)  # (B, 512, 3)
+    s = sdf.reshape(b, -1)
+    w = weight.reshape(b, -1)
+    valid = (w != 0) & (jnp.abs(s) < truncation)
+    g = jnp.abs(s) / truncation
+    colors = jnp.stack([g, g, g], axis=-1)
+    return (
+        centers.reshape(-1, 3),
+        colors.reshape(-1, 3),
+        valid.reshape(-1),
+    )
