@@ -37,7 +37,14 @@ import numpy as np
 
 SALIENT_THRESHOLD = 1.5  # ref: MildLCDetector.h salient_score_threshold
 MAX_CANDIDATES = 7  # ref: MildLCDetector.h max_candidate_num
-MIN_SHARED_SCORE = 4.0  # ref: BayesianFilter.hpp:28 min_shared_score_threshold
+# Absolute-evidence floor for candidacy. The reference gates at
+# min_shared_score_threshold = 4 (ref: BayesianFilter.hpp:28) on its
+# BUCKETED scores; the exhaustive TPU scan finds every sub-64-distance
+# match, which inflates each feature's total energy and deflates its idf,
+# compressing genuine-revisit scores to O(0.1-1). 0.05 keeps the gate's
+# purpose (kill all-zero degenerate queries, where the salient formula
+# returns 3.0 for everything) without vetoing real loops.
+MIN_SHARED_SCORE = 0.05
 HAMMING_THRESHOLD = 64  # ref: mild.hpp DEFAULT_HAMMING_DISTANCE_THRESHOLD
 HAMMING_COVARIANCE = 900.0  # ref: mild.hpp:33
 # energy floor = lut_feature_similarity[20] (ref: loop_closure_detector.cpp:214)

@@ -197,8 +197,9 @@ class ChunkScanOut(NamedTuple):
     corr_src: jax.Array  # (K, N, 3) vs the frame's tracking keyframe
     corr_dst: jax.Array  # (K, N, 3)
     corr_valid: jax.Array  # (K, N)
-    kf_ord: jax.Array  # (K,) ordinal of the keyframe each frame tracked
-    #                    against (0 = the chunk-entry keyframe)
+    promote_prev: jax.Array  # (K,) bool: frame i-1 was retroactively
+    #                          promoted to keyframe when frame i lost
+    #                          tracking (failure recovery)
 
 
 @functools.partial(jax.jit, static_argnames=("camera", "keyframe_disparity"))
@@ -229,38 +230,46 @@ def sparse_chunk_scan(
     """
     thr = jnp.float32(keyframe_disparity)
 
+    def sel(cond, new, old):
+        return jax.tree.map(
+            lambda a, b: jnp.where(jnp.reshape(cond, (1,) * b.ndim), a, b),
+            new, old,
+        )
+
     def body(carry, xs):
-        kf, kfp, last_T, key = carry
+        kf, kfp, prev_frame, prev_T, prev_ok, last_T, key = carry
         frame_i, _ = xs
         key, sub = jax.random.split(key)
         res, summ = _track_summary_inner(sub, kf, frame_i, camera)
         ok = summ.success
+        # FAILURE RECOVERY: tracking lost against the keyframe, but the
+        # previous frame tracked fine -> retroactively promote it as the
+        # new keyframe so the NEXT frame has a nearby reference. (The
+        # reference hard-exits here, ref FBASlam.cpp:124-128; a production
+        # system must not.) The current frame keeps the previous pose.
+        promote_prev = (~ok) & prev_ok
+        kf = sel(promote_prev, prev_frame, kf)
+        kfp = jnp.where(promote_prev, prev_T, kfp)
         T_rel = se3_inverse(summ.T_ts)
         T_world = jnp.where(ok, kfp @ T_rel, last_T)
         is_kf = ok & (summ.disparity >= thr)
-        new_kf = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(is_kf, (1,) * old.ndim), new, old
-            ),
-            frame_i, kf,
-        )
-        new_kfp = jnp.where(is_kf, T_world, kfp)
+        kf = sel(is_kf, frame_i, kf)
+        kfp = jnp.where(is_kf, T_world, kfp)
         out = (
             T_world, is_kf, ok, summ.rmse, summ.disparity,
-            res.corr_src, res.corr_dst, res.corr_valid, is_kf,
+            res.corr_src, res.corr_dst, res.corr_valid, promote_prev,
         )
-        return (new_kf, new_kfp, T_world, key), out
+        return (kf, kfp, frame_i, T_world, ok, T_world, key), out
 
     k = frames.points.shape[0]
-    init = (kf_frame, kf_pose, kf_pose, key)
-    (kf_out, kfp_out, _, _), outs = jax.lax.scan(
+    f0 = jax.tree.map(lambda a: a[0], frames)  # placeholder prev (unused: prev_ok=False)
+    init = (kf_frame, kf_pose, f0, kf_pose, jnp.bool_(False), kf_pose, key)
+    (kf_out, kfp_out, _, _, _, _, _), outs = jax.lax.scan(
         body, init, (frames, jnp.arange(k))
     )
-    (T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, _) = outs
-    kf_ord = jnp.cumsum(jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                         is_kf.astype(jnp.int32)[:-1]]))
+    (T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, pp) = outs
     return (kf_out, kfp_out), ChunkScanOut(
-        T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, kf_ord
+        T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, pp
     )
 
 

@@ -79,8 +79,14 @@ def ransac_rigid(
     T_out = jnp.where(better, T_refit, Ts[best])
     inl_out = jnp.where(better, inl_r, best_inl)
     nin = jnp.sum(inl_out)
+    d2_out = jnp.where(better, d2_r, d2[best])
+    if norm_z is not None:
+        # report rmse in the same normalised units as the gate, matching the
+        # reference's ComputeReprojectionError3D (err / z) so its
+        # max_reprojection_error_3d thresholds apply unchanged
+        d2_out = d2_out / jnp.clip(jnp.square(norm_z), 1e-6, None)
     rmse = jnp.sqrt(
-        jnp.sum(jnp.where(inl_out, jnp.where(better, d2_r, d2[best]), 0.0))
+        jnp.sum(jnp.where(inl_out, d2_out, 0.0))
         / jnp.clip(nin.astype(jnp.float32), 1.0, None)
     )
     return RansacResult(T_out, inl_out, nin, rmse)

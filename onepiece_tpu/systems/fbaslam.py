@@ -33,6 +33,7 @@ from ..optimization import posegraph
 from .keyframe_slam import KEYFRAME_DISPARITY, KeyframeSlamState
 
 MAX_EDGE_CORRS = 256
+MAX_REPROJECTION_ERROR_3D = 0.05  # ref: KeyframeBasedSlam.h:58 (normalised err/z)
 
 
 @dataclasses.dataclass
@@ -133,7 +134,9 @@ class FBASlam:
             if cand == kf_idx:
                 continue
             res_c, summ_c = self._track(self.keyframe_frames[cand], frame)
-            if bool(summ_c.success):
+            # loop edges carry far more leverage than odometry edges: gate
+            # on the reference's reprojection rmse too (ref FBASlam.cpp:99)
+            if bool(summ_c.success) and float(summ_c.rmse) < MAX_REPROJECTION_ERROR_3D:
                 self._add_edge(cand, new_kf, res_c)
 
         self.lcd.insert(frame.kp.desc, frame.valid)
@@ -196,10 +199,17 @@ class FBASlam:
         )
         _tick("extract+scan dispatch")
         # ONE summary fetch for the whole chunk
-        T_world, is_kf, ok, rmse, disp = jax.device_get(
-            (outs.T_world, outs.is_kf, outs.success, outs.rmse, outs.disparity)
+        T_world, is_kf, ok, rmse, disp, pp = jax.device_get(
+            (outs.T_world, outs.is_kf, outs.success, outs.rmse,
+             outs.disparity, outs.promote_prev)
         )
         _tick("summary fetch")
+        # failure recovery: frame i-1 promoted retroactively when frame i
+        # lost tracking (see sparse_chunk_scan)
+        is_kf = np.asarray(is_kf).copy()
+        for i in np.nonzero(pp)[0]:
+            if i >= 1 and not is_kf[i - 1] and ok[i - 1]:
+                is_kf[i - 1] = True
         kf_rows = np.nonzero(is_kf)[0]
         # fetch edge correspondences for promoted frames only (one fetch)
         if len(kf_rows):
@@ -244,16 +254,21 @@ class FBASlam:
                 for cand in self.lcd.candidates_from_sims(sims[q], limit=g - 1):
                     pairs.append((cand, g))
             if pairs:
+                # pad the pair batch to a power of two: each distinct batch
+                # size otherwise compiles its own lax.map executable
+                n_real = len(pairs)
+                n_pad = 1 << (n_real - 1).bit_length()
+                pairs_p = pairs + [pairs[0]] * (n_pad - n_real)
                 srcs = _jax.tree.map(
                     lambda *a: jnp.stack(a),
-                    *[self.keyframe_frames[c] for c, _ in pairs],
+                    *[self.keyframe_frames[c] for c, _ in pairs_p],
                 )
                 tgts = _jax.tree.map(
                     lambda *a: jnp.stack(a),
-                    *[self.keyframe_frames[g] for _, g in pairs],
+                    *[self.keyframe_frames[g] for _, g in pairs_p],
                 )
                 keys = jax.random.split(
-                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31))), len(pairs)
+                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31))), n_pad
                 )
                 # lax.map, not vmap: vmapped RANSAC/top-k lowers poorly
                 res_b, summ_b = jax.lax.map(
@@ -262,7 +277,10 @@ class FBASlam:
                     ),
                     (keys, srcs, tgts),
                 )
-                succ = np.asarray(summ_b.success)
+                succ = np.asarray(summ_b.success) & (
+                    np.asarray(summ_b.rmse) < MAX_REPROJECTION_ERROR_3D
+                )
+                succ[n_real:] = False  # padding
                 good = np.nonzero(succ)[0]
                 if len(good):
                     gi = jnp.asarray(good)

@@ -331,6 +331,55 @@ class FusedDenseFusion:
             self._poses.append(outs.T_w[i].copy())
             self._rmses.append(outs.rmse[i].copy())
 
+    def maybe_grow(self, threshold: float = 0.85) -> bool:
+        """Double the pool (and, if needed, the hash table) when occupancy
+        crosses `threshold` — call between chunks on long sequences.
+
+        The reference's `unordered_map` grows transparently
+        (ref: src/Integration/CubeHandler.h:22); the device pool is a fixed
+        tensor, so growth is an explicit re-allocation: pool rows keep
+        their slots (device concat), the replicated table either keeps its
+        cells (slots unchanged) or is rebuilt at double size with
+        `device_hash.insert_at` once its load factor would pass 1/2.
+        Costs one host sync (the occupancy read) + one device copy.
+        """
+        if self._state is None:
+            return False
+        na = int(self._state.table.num_active)
+        if na <= threshold * self.capacity:
+            return False
+        st = self._state
+        new_cap = self.capacity * 2
+        old = st.vox
+        grown = jnp.concatenate(
+            [
+                old[: self.capacity],
+                tp.make_pool(self.capacity)[: self.capacity],
+                old[self.capacity :],  # trash row stays last
+            ]
+        )
+        tbl = st.table
+        bc = jnp.zeros((new_cap, 3), jnp.int32).at[: self.capacity].set(
+            tbl.block_coords
+        )
+        tbl = tbl._replace(block_coords=bc)
+        if new_cap > tbl.table_keys.shape[0] // 2:
+            # rebuild the hash table at double size (same slots)
+            c = jnp.clip(bc + 512, 0, 1023)
+            packed = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
+            keys = jnp.where(
+                jnp.arange(new_cap) < na, packed, jnp.int32(tsdf_ops.INVALID_KEY)
+            )
+            new_tbl = dh.make_table(tbl.table_keys.shape[0] * 2, new_cap)
+            new_tbl = dh.insert_at(
+                new_tbl, keys, jnp.arange(new_cap, dtype=jnp.int32)
+            )
+            tbl = new_tbl._replace(overflow=st.table.overflow)
+            self.table_size = new_tbl.table_keys.shape[0]
+        self.capacity = new_cap
+        self._state = st._replace(vox=grown, table=tbl)
+        return True
+
     def finalize(self):
         """One sync: fetch trajectory + rmse. Returns (poses, rmses)."""
         poses = np.asarray(jnp.stack(self._poses))

@@ -162,6 +162,26 @@ def orbit_trajectory(num_frames: int, radius: float = 0.25, seed: int = 0) -> np
     return np.stack(poses)
 
 
+def loop_trajectory(num_frames: int, radius: float = 0.35, seed: int = 0) -> np.ndarray:
+    """CLOSED camera loop (num_frames, 4, 4): every motion term is periodic
+    in s, so the last pose returns to the first — a genuine loop closure
+    for long-sequence tests (drift accumulates outbound, LC must fire on
+    the return leg)."""
+    poses = []
+    for i in range(num_frames):
+        s = i / num_frames
+        ang = 2.0 * np.pi * s
+        tx = radius * np.sin(ang)
+        ty = 0.06 * np.sin(2 * ang)
+        tz = 0.18 * (1.0 - np.cos(ang))
+        yaw = 0.45 * np.sin(ang)
+        pitch = 0.08 * np.sin(2 * ang)
+        roll = 0.04 * np.sin(3 * ang)
+        xi = np.array([tx, ty, tz, pitch, yaw, roll], np.float32)
+        poses.append(np.asarray(se3.se3_exp(jnp.asarray(xi))))
+    return np.stack(poses)
+
+
 def render_sequence(
     num_frames: int,
     camera,

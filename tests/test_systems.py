@@ -144,3 +144,58 @@ def test_fba_slam_process_chunk():
     est2 = slam2.trajectory()
     assert est2.shape == (14, 4, 4)
     assert traj.ate_rmse(est2, gt) < 0.06
+
+
+@pytest.mark.slow
+def test_long_loop_sequence_lc_and_pool_growth():
+    """Long-sequence robustness at test scale: a CLOSED 96-frame loop.
+
+    Asserts the three long-run behaviours the 16-frame bench cannot see:
+    loop-closure edges fire on the return leg, the pose graph keeps the
+    looped trajectory bounded, and the fused pool grows under pressure
+    without dropping blocks. (Full-scale 200-frame run: tools/long_run.py,
+    artifact LONGRUN.json.)
+    """
+    from onepiece_tpu.systems.fused_slam import FusedDenseFusion
+
+    n = 96
+    scene = synthetic.default_scene()
+    poses = synthetic.loop_trajectory(n)
+    grays, depths = [], []
+    for i in range(n):
+        d, g = synthetic.render(
+            scene, jnp.asarray(poses[i]), CAM.fx, CAM.fy, CAM.cx, CAM.cy,
+            CAM.height, CAM.width, num_steps=48,
+        )
+        grays.append(np.asarray(g))
+        depths.append(np.asarray(d))
+    grays = np.stack(grays)
+    depths = np.stack(depths)
+
+    fba = FBASlam(CAM, fast_threshold=0.03, keyframe_disparity=10.0)
+    for s in range(0, n, 24):
+        fba.process_chunk(grays[s : s + 24], depths[s : s + 24])
+    loop_edges = sum(1 for e in fba.edges if e["dst"] - e["src"] > 1)
+    assert loop_edges >= 1, "no loop-closure edge fired on a closed loop"
+    ate = traj.ate_rmse(fba.trajectory(), poses)
+    assert ate < 0.05, ate
+
+    # fused pool growth under occupancy pressure: the 0.5 threshold makes
+    # maybe_grow re-allocate after the first chunk; the pool must keep
+    # integrating correctly through the re-allocation with zero drops
+    slam = FusedDenseFusion(
+        CAM, voxel_size=0.03, truncation=0.12, capacity=1024,
+        table_size=1 << 12, kmax=2048, stride=2, interpret=True,
+    )
+    grew = 0
+    active_at_growth = 0
+    for s in range(0, 8, 2):
+        slam.process_chunk(grays[s : s + 2], depths[s : s + 2])
+        if slam.maybe_grow(threshold=0.4):
+            grew += 1
+            active_at_growth = slam.num_active
+    assert grew >= 1, "pool never grew"
+    assert slam.capacity >= 2048
+    assert slam.overflow == 0, f"blocks dropped: {slam.overflow}"
+    # integration continued after the re-allocation
+    assert slam.num_active > active_at_growth

@@ -28,13 +28,21 @@ BF16_TFLOPS = 197.0
 
 def bench(fn, *args, n=10, **kw):
     import jax
+    import numpy as _np
+
+    def force(r):
+        # block_until_ready under-measures through the remote-chip tunnel
+        # (async completion is signalled before results land); fetching one
+        # element forces true completion
+        leaf = jax.tree.leaves(r)[0]
+        _np.asarray(leaf).ravel()[:1]
 
     r = fn(*args, **kw)
-    jax.block_until_ready(r)
+    force(r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args, **kw)
-    jax.block_until_ready(r)
+    force(r)
     return (time.perf_counter() - t0) / n
 
 
@@ -154,7 +162,47 @@ def main():
     bytes_moved = 5 * (20000 * 20000 * 4)  # distance tiles
     report("icp point_to_point (20k pts, 5 iters)", t, flops, bytes_moved)
 
-    out = {"device": str(dev), "hbm_roof_gbs": HBM_GBS, "kernels": rows}
+    # --- production fused frame step (track + allocate + integrate) ------
+    from onepiece_tpu.systems import fused_slam as fs
+    from onepiece_tpu.integration import device_hash as dh
+
+    state = fs.fused_init_step(
+        g0, d0, None, cam, 0.0125, 0.1, capacity=16384, table_size=1 << 16
+    )
+    state = state._replace(T_w=jnp.eye(4), rel=jnp.eye(4))
+
+    def fused_step(gray, depth):
+        nonlocal state
+        state, out2 = fs.fused_frame_step(
+            state, gray, depth, None, cam, 0.0125, 0.1, radii=(4, 3, 2)
+        )
+        return out2.T_w
+
+    t = bench(fused_step, g1, d1, n=10)
+    # traffic: pyramid build + tracking stacks + touched-key unique +
+    # pallas integrate (~7k blocks) — report as whole-frame wall numbers
+    report(
+        "fused_frame_step (track+alloc+fuse, 640x480)", t,
+        (4 * npx + 2 * npx) * (25 * 2 * 7 + 90) + 7200 * 3 * 2 * tp.WIN_R * tp.WIN_C * 512 // 4096,
+        (4 * npx + 2 * npx) * 26 * 4 + 7200 * 512 * 5 * 4 * 2,
+    )
+
+    out = {
+        "device": str(dev),
+        "hbm_roof_gbs": HBM_GBS,
+        "notes": (
+            "Timed with a forced one-element fetch per call (block_until_ready "
+            "under-reports through the remote-chip tunnel). Standalone micro-"
+            "kernel rows therefore include ~2-15 ms of per-dispatch tunnel "
+            "overhead, which dominates sub-10ms kernels; the production "
+            "number is fused_frame_step (one dispatch for track+alloc+fuse, "
+            "matches bench.py's ~23 ms/frame wall). All kernels are "
+            "stencil/gather shaped: the HBM roof is the relevant bound; the "
+            "one-hot MC/TSDF contractions ride the MXU by design but their "
+            "FLOPs are incidental."
+        ),
+        "kernels": rows,
+    }
     if args.json:
         print(json.dumps(out))
     else:
