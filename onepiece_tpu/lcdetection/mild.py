@@ -66,9 +66,13 @@ def _similarity_scores(
     within distance 64 contributes its LUT similarity (the hash version
     misses pairs that share no bucket; the exhaustive scan is exact).
     """
+    from ..ops import hamming as _h
+
     kdb = db_desc.shape[0] if num_keyframes is None else num_keyframes
-    x = jnp.bitwise_xor(q_desc[:, None, None, :], db_desc[None, :, :, :])
-    d = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)  # (N, K, F)
+    kk, ff = db_desc.shape[0], db_desc.shape[1]
+    d = _h.hamming_table(q_desc, db_desc.reshape(kk * ff, 8)).reshape(
+        -1, kk, ff
+    ).astype(jnp.float32)  # (N, K, F) via one MXU matmul
     sim = jnp.exp(-jnp.square(jnp.maximum(d, 10.0)) / HAMMING_COVARIANCE)
     sim = jnp.where(db_valid[None, :, :] & (d < HAMMING_THRESHOLD), sim, 0.0)
     fs = jnp.sum(sim, axis=-1)  # (N, K) feature_score
@@ -78,6 +82,16 @@ def _similarity_scores(
     idf = jnp.log(jnp.maximum(1.0, kdb / simcount.astype(jnp.float32)))  # (N,)
     contrib = fs / energy * idf[:, None]
     return jnp.sum(jnp.where(q_valid[:, None], contrib, 0.0), axis=0)  # (K,)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _similarity_scores_batch(q_descs, q_valids, db_desc, db_valid, num_keyframes):
+    """(Q, N, 8) queries -> (Q, K) scores; jitted lax.map (a bare lax.map
+    outside jit executes semi-eagerly at ~30-50x the cost)."""
+    return jax.lax.map(
+        lambda qv: _similarity_scores(qv[0], qv[1], db_desc, db_valid, num_keyframes),
+        (q_descs, q_valids),
+    )
 
 
 def salient_scores(sims: np.ndarray) -> np.ndarray:
@@ -242,11 +256,8 @@ class LoopClosureDetector:
         if k == 0:
             return np.zeros((descs.shape[0], 0), np.float32)
         sims = np.asarray(
-            jax.lax.map(
-                lambda dv: _similarity_scores(
-                    dv[0], dv[1], self.db, self.db_valid, jnp.int32(k)
-                ),
-                (descs, valids),
+            _similarity_scores_batch(
+                descs, valids, self.db, self.db_valid, jnp.int32(k)
             )
         )
         return sims[:, :k]

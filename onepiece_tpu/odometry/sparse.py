@@ -312,3 +312,22 @@ def extract_sparse_frames_batch(
         ),
         jnp.stack([grays, depths], axis=1),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("camera",))
+def track_pairs_batch(
+    keys: jax.Array,  # (P, 2) PRNG keys
+    sources: SparseFrame,  # batched (leading P)
+    targets: SparseFrame,  # batched (leading P)
+    camera: PinholeCamera,
+) -> tuple[SparseTrackingResult, TrackingSummary]:
+    """Batched pair tracking in ONE jitted dispatch.
+
+    `lax.map` (sequential; vmapped RANSAC/top-k lowers poorly) — and the
+    jit wrapper matters: a bare lax.map outside jit executes its body
+    semi-eagerly at ~50x the cost.
+    """
+    return jax.lax.map(
+        lambda x: _track_summary_inner(x[0], x[1], x[2], camera),
+        (keys, sources, targets),
+    )

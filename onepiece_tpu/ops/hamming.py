@@ -22,10 +22,31 @@ import jax.numpy as jnp
 HAMMING_MAX = 256
 
 
+def bit_signs(desc: jax.Array) -> jax.Array:
+    """(..., 8) uint32 -> (..., 256) bf16 in {+1, -1} (bit=1 -> -1).
+
+    Hamming distance between 256-bit strings is (256 - s_a . s_b) / 2 for
+    their +-1 sign vectors: one bf16 matmul on the MXU replaces the
+    XOR+popcount broadcast, which lowers to slow elementwise passes over a
+    (N, M, 8) intermediate. EXACT: products are +-1 and the f32 accumulator
+    holds integer sums up to 256.
+    """
+    k = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[..., :, None] >> k) & jnp.uint32(1)  # (..., 8, 32)
+    return (1.0 - 2.0 * bits.astype(jnp.float32)).astype(jnp.bfloat16).reshape(
+        desc.shape[:-1] + (256,)
+    )
+
+
 def hamming_table(a: jax.Array, b: jax.Array) -> jax.Array:
-    """(N, 8) x (M, 8) uint32 -> (N, M) int32 hamming distances."""
-    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    """(N, 8) x (M, 8) uint32 -> (N, M) int32 hamming distances (MXU)."""
+    sa = bit_signs(a)
+    sb = bit_signs(b)
+    dot = jax.lax.dot_general(
+        sa, sb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=())

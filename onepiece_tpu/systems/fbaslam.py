@@ -249,6 +249,7 @@ class FBASlam:
             descs = jnp.stack([self.keyframe_frames[g].kp.desc for g in new_kf_global])
             valids = jnp.stack([self.keyframe_frames[g].valid for g in new_kf_global])
             sims = self.lcd.similarity_batch(descs, valids)
+            _tick("  lc similarity")
             pairs = []
             for q, g in enumerate(new_kf_global):
                 for cand in self.lcd.candidates_from_sims(sims[q], limit=g - 1):
@@ -271,12 +272,11 @@ class FBASlam:
                     jax.random.PRNGKey(int(self._rng.integers(0, 2**31))), n_pad
                 )
                 # lax.map, not vmap: vmapped RANSAC/top-k lowers poorly
-                res_b, summ_b = jax.lax.map(
-                    lambda x: sparse.sparse_tracking_with_summary(
-                        x[1], x[2], self.camera, x[0]
-                    ),
-                    (keys, srcs, tgts),
+                _tick("  lc pair prep")
+                res_b, summ_b = sparse.track_pairs_batch(
+                    keys, srcs, tgts, self.camera
                 )
+                _tick(f"  lc pair track x{n_pad}")
                 succ = np.asarray(summ_b.success) & (
                     np.asarray(summ_b.rmse) < MAX_REPROJECTION_ERROR_3D
                 )

@@ -110,3 +110,19 @@ def test_sparse_tracking_synthetic():
     delta = np.asarray(se3.se3_log(res.T_ts @ se3.inverse_T(T_gt)))
     assert np.linalg.norm(delta[:3]) < 0.05, delta
     assert np.linalg.norm(delta[3:]) < 0.02, delta
+
+
+def test_hamming_table_matmul_exact():
+    """The MXU sign-vector formulation must equal XOR+popcount exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from onepiece_tpu.ops import hamming
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2**32, (33, 8), dtype=np.uint64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (47, 8), dtype=np.uint64).astype(np.uint32))
+    got = np.asarray(hamming.hamming_table(a, b))
+    x = np.bitwise_xor(np.asarray(a)[:, None, :], np.asarray(b)[None, :, :])
+    want = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    np.testing.assert_array_equal(got, want)
