@@ -38,9 +38,17 @@ class ICPResult(NamedTuple):
 
 
 def _correspond(src_t: jax.Array, src_valid, tgt: jax.Array, tgt_valid, threshold):
-    idx, d2 = knn_ops.knn(src_t, tgt, tgt_valid, k=1)
-    idx = idx[:, 0]
-    d2 = d2[:, 0]
+    if jax.default_backend() == "tpu":
+        # fused Pallas distance+argmin: the XLA path materialises the
+        # (N, M) distance matrix in HBM and is bound by that traffic
+        # (6.4 -> 2.5 ms/iter at 20k x 20k); see ops/knn_pallas.py
+        from ..ops import knn_pallas
+
+        idx, d2 = knn_pallas.nn1_pallas(src_t, tgt, tgt_valid)
+    else:
+        idx2, d22 = knn_ops.knn(src_t, tgt, tgt_valid, k=1)
+        idx = idx2[:, 0]
+        d2 = d22[:, 0]
     ok = src_valid & (d2 < threshold * threshold)
     return idx, d2, ok
 

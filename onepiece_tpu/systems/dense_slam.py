@@ -70,9 +70,11 @@ class DenseSlam:
             rmse = 0.0
         else:
             res = dense.dense_tracking(self.prev_pyramid, pyr, self.camera)
-            T_ts = np.asarray(res.T_ts)
+            # ONE blocking transfer per frame (each costs ~50 ms on a
+            # remote-attached chip)
+            T_ts, rmse = jax.device_get((res.T_ts, res.rmse))
             T_world = self.poses[-1] @ np.linalg.inv(T_ts)
-            rmse = float(res.rmse)
+            rmse = float(rmse)
         self.prev_pyramid = pyr
 
         sm_idx = fidx // self.submap_size
@@ -128,8 +130,9 @@ class DenseSlam:
             cur.points, cur.valid, prev.points, prev.valid,
             init_T=jnp.asarray(init, jnp.float32), threshold=self.icp_threshold,
         )
-        if np.isfinite(float(res.rmse)) and int(res.num_inliers) > 50:
-            self._add_edge(sm_idx, sm_idx - 1, np.asarray(res.T), cur)
+        T_icp, rmse_icp, nin_icp = jax.device_get((res.T, res.rmse, res.num_inliers))
+        if np.isfinite(float(rmse_icp)) and int(nin_icp) > 50:
+            self._add_edge(sm_idx, sm_idx - 1, np.asarray(T_icp), cur)
             info["icp_ok"] = True
 
         # RANSAC registration vs all older submaps (loop closures, ref :106-115)

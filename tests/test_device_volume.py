@@ -260,3 +260,51 @@ class TestFusedSLAM:
         np.testing.assert_allclose(
             np.asarray(v_chk.sdf), np.asarray(v_ref.sdf), atol=1e-6
         )
+
+
+class TestPoolGrowth:
+    def test_grow_with_table_rebuild_preserves_volume(self):
+        """Growth past half table load rebuilds the hash table at double
+        size with identical slot assignments; integrated content and
+        subsequent integration must be unaffected."""
+        import numpy as np
+
+        from onepiece_tpu.geometry.camera import TUM_CAMERA
+        from onepiece_tpu.systems.fused_slam import FusedDenseFusion
+        from onepiece_tpu.utils import synthetic
+
+        cam = TUM_CAMERA.pyramid(3)[-1]  # 160x120
+        scene = synthetic.default_scene()
+        poses = synthetic.orbit_trajectory(16)[:4]
+        grays, depths = [], []
+        for p in poses:
+            d, g = synthetic.render(
+                scene, jnp.asarray(p), cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.height, cam.width, num_steps=48,
+            )
+            grays.append(np.asarray(g))
+            depths.append(np.asarray(d))
+
+        # tiny table (1<<11): growing 1024 -> 2048 crosses half load and
+        # forces the insert_at rebuild path
+        slam = FusedDenseFusion(
+            cam, voxel_size=0.03, truncation=0.12, capacity=1024,
+            table_size=1 << 11, kmax=1024, stride=2, interpret=True,
+        )
+        slam.process_chunk(np.stack(grays[:2]), np.stack(depths[:2]))
+        before = slam.to_volume()
+        na_before = slam.num_active
+        assert slam.maybe_grow(threshold=0.1)
+        assert slam.capacity == 2048 and slam.table_size == 1 << 12
+        after = slam.to_volume()
+        assert after.num_active == na_before
+        np.testing.assert_array_equal(
+            before.block_coords[:na_before], after.block_coords[:na_before]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(before.sdf[:na_before]), np.asarray(after.sdf[:na_before])
+        )
+        # integration continues correctly through the rebuilt table
+        slam.process_chunk(np.stack(grays[2:]), np.stack(depths[2:]))
+        assert slam.overflow == 0
+        assert slam.num_active > na_before

@@ -100,3 +100,24 @@ def test_global_registration_recovers_large_motion():
         init_T=res.T, threshold=0.2,
     )
     np.testing.assert_allclose(np.asarray(refined.T), np.asarray(T_gt), atol=5e-3)
+
+
+def test_nn1_pallas_matches_xla_knn():
+    """Fused Pallas 1-NN (interpret mode) == XLA brute-force kNN, up to fp
+    tie-breaks: distances of the chosen neighbours must agree."""
+    import jax.numpy as jnp
+
+    from onepiece_tpu.ops import knn as knn_ops
+    from onepiece_tpu.ops import knn_pallas as knp
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(500, 3)).astype(np.float32))
+    v = jnp.asarray(rng.random(500) > 0.2)
+    i1, d1 = knn_ops.knn(q, r, v, k=1)
+    i2, d2 = knp.nn1_pallas(q, r, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1)[:, 0], atol=1e-4)
+    same = np.asarray(i1)[:, 0] == np.asarray(i2)
+    assert same.mean() > 0.99  # disagreements only at fp ties
+    # every chosen neighbour must be valid
+    assert np.asarray(v)[np.asarray(i2)].all()
