@@ -105,3 +105,43 @@ def test_pipelined_fusion_matches_eager():
     a = np.asarray(slam.volume.weight[: vol.num_active])
     b = np.asarray(vol.weight[: vol.num_active])
     assert (a > 0).sum() == (b > 0).sum()
+
+
+def test_replay_rgbd_reader_live_contract(tmp_path):
+    """ReplayRGBDReader delivers TUM frames on the replay clock and ends
+    with None (the OpenNIReader live-loop contract)."""
+    import time
+
+    import imageio.v2 as iio
+
+    from onepiece_tpu.io.openni import ReplayRGBDReader
+
+    root = tmp_path / "seq"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    lines_rgb, lines_d = [], []
+    for i in range(3):
+        ts = f"{i * 0.1:.6f}"
+        iio.imwrite(root / "rgb" / f"{ts}.png", np.full((8, 8, 3), i * 40, np.uint8))
+        iio.imwrite(root / "depth" / f"{ts}.png", np.full((8, 8), 5000, np.uint16))
+        lines_rgb.append(f"{ts} rgb/{ts}.png")
+        lines_d.append(f"{ts} depth/{ts}.png")
+    (root / "rgb.txt").write_text("\n".join(lines_rgb) + "\n")
+    (root / "depth.txt").write_text("\n".join(lines_d) + "\n")
+
+    r = ReplayRGBDReader(str(root), rate_hz=50.0)
+    assert r.init()
+    t0 = time.monotonic()
+    frames = []
+    while True:
+        item = r.get_next_rgbd()
+        if item is None:
+            break
+        frames.append(item)
+    elapsed = time.monotonic() - t0
+    assert len(frames) == 3
+    assert elapsed >= 2 / 50.0  # frames were paced, not dumped
+    ts, rgb, depth = frames[1]
+    assert rgb.shape == (8, 8, 3)
+    assert float(depth[0, 0]) == 1.0  # 5000 / depth_scale
+    r.close()
