@@ -197,6 +197,7 @@ class ChunkScanOut(NamedTuple):
     corr_src: jax.Array  # (K, N, 3) vs the frame's tracking keyframe
     corr_dst: jax.Array  # (K, N, 3)
     corr_valid: jax.Array  # (K, N)
+    corr_idx: jax.Array  # (K, N) matched keypoint index in the frame
     promote_prev: jax.Array  # (K,) bool: frame i-1 was retroactively
     #                          promoted to keyframe when frame i lost
     #                          tracking (failure recovery)
@@ -257,7 +258,8 @@ def sparse_chunk_scan(
         kfp = jnp.where(is_kf, T_world, kfp)
         out = (
             T_world, is_kf, ok, summ.rmse, summ.disparity,
-            res.corr_src, res.corr_dst, res.corr_valid, promote_prev,
+            res.corr_src, res.corr_dst, res.corr_valid, res.corr_idx,
+            promote_prev,
         )
         return (kf, kfp, frame_i, T_world, ok, T_world, key), out
 
@@ -267,9 +269,9 @@ def sparse_chunk_scan(
     (kf_out, kfp_out, _, _, _, _, _), outs = jax.lax.scan(
         body, init, (frames, jnp.arange(k))
     )
-    (T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, pp) = outs
+    (T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, cidx, pp) = outs
     return (kf_out, kfp_out), ChunkScanOut(
-        T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, pp
+        T_world, is_kf, ok, rmse, disp, csrc, cdst, cval, cidx, pp
     )
 
 

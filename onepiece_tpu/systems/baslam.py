@@ -152,6 +152,121 @@ class BASlam:
             self.optimize()
         return {"frame": fidx, "keyframe": True, "success": True, "linked": linked}
 
+    def process_chunk(self, grays: np.ndarray, depths: np.ndarray) -> dict:
+        """Chunked BAFusion: the same on-device keyframe-selection scan as
+        FBASlam.process_chunk (odometry/sparse.py `sparse_chunk_scan`), but
+        promoted keyframes feed world-point TRACKS (ref BASlam.cpp:89-150)
+        and the per-chunk optimisation is FULL bundle adjustment with the
+        Schur complement. Loop-closure candidate pairs are tracked in one
+        batched dispatch and linked into the same track structure."""
+        import types as _types
+
+        import jax as _jax
+
+        k = int(grays.shape[0])
+        frames = sparse.extract_sparse_frames_batch(
+            jnp.asarray(grays, jnp.float32), jnp.asarray(depths, jnp.float32),
+            self.camera, max_keypoints=self.max_keypoints,
+            threshold=self.fast_threshold,
+        )
+        if self.frame_count == 0:
+            f0 = _jax.tree.map(lambda a: a[0], frames)
+            self.keyframe_frames.append(f0)
+            self.keyframe_poses.append(np.eye(4, dtype=np.float32))
+            self.track_of_kp.append(np.full(self.max_keypoints, -1, np.int64))
+            self.state.promote_keyframe(0)
+            self.lcd.insert(f0.kp.desc, f0.valid)
+            self.state.add_frame(np.eye(4), 0, np.eye(4), True)
+            self.frame_count = 1
+            frames = _jax.tree.map(lambda a: a[1:], frames)
+            k -= 1
+            if k == 0:
+                return {"frames": 1, "keyframes": 1}
+
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        _, outs = sparse.sparse_chunk_scan(
+            self.keyframe_frames[-1],
+            jnp.asarray(self.keyframe_poses[-1], jnp.float32),
+            frames, self.camera, key, self.keyframe_disparity,
+        )
+        T_world, is_kf, ok, pp = jax.device_get(
+            (outs.T_world, outs.is_kf, outs.success, outs.promote_prev)
+        )
+        is_kf = np.asarray(is_kf).copy()
+        for i in np.nonzero(pp)[0]:
+            if i >= 1 and not is_kf[i - 1] and ok[i - 1]:
+                is_kf[i - 1] = True
+        kf_rows = np.nonzero(is_kf)[0]
+        if len(kf_rows):
+            rows = jnp.asarray(kf_rows)
+            csrc, cdst, cval, cidx = jax.device_get(
+                (outs.corr_src[rows], outs.corr_dst[rows],
+                 outs.corr_valid[rows], outs.corr_idx[rows])
+            )
+
+        new_kf_global = []
+        for i in range(k):
+            fidx = self.frame_count
+            self.frame_count += 1
+            src_kf = len(self.keyframe_frames) - 1
+            T_rel = np.linalg.inv(self.keyframe_poses[src_kf]) @ T_world[i]
+            self.state.add_frame(T_world[i], src_kf, T_rel, bool(ok[i]))
+            if not is_kf[i]:
+                continue
+            j = int(np.searchsorted(kf_rows, i))
+            frame_i = _jax.tree.map(lambda a: a[i], frames)
+            new_kf = len(self.keyframe_frames)
+            self.keyframe_frames.append(frame_i)
+            self.keyframe_poses.append(T_world[i].astype(np.float32))
+            self.track_of_kp.append(np.full(self.max_keypoints, -1, np.int64))
+            self.state.promote_keyframe(fidx)
+            res_like = _types.SimpleNamespace(
+                corr_src=csrc[j], corr_valid=cval[j], corr_idx=cidx[j]
+            )
+            self._link_tracks(src_kf, new_kf, res_like)
+            self.lcd.insert(frame_i.kp.desc, frame_i.valid)
+            new_kf_global.append(new_kf)
+
+        if new_kf_global:
+            descs = jnp.stack([self.keyframe_frames[g].kp.desc for g in new_kf_global])
+            valids = jnp.stack([self.keyframe_frames[g].valid for g in new_kf_global])
+            sims = self.lcd.similarity_batch(descs, valids)
+            pairs = []
+            for q, g in enumerate(new_kf_global):
+                for cand in self.lcd.candidates_from_sims(sims[q], limit=g - 1):
+                    pairs.append((cand, g))
+            if pairs:
+                n_real = len(pairs)
+                n_pad = 1 << (n_real - 1).bit_length()
+                pairs_p = pairs + [pairs[0]] * (n_pad - n_real)
+                srcs = _jax.tree.map(
+                    lambda *a: jnp.stack(a), *[self.keyframe_frames[c] for c, _ in pairs_p]
+                )
+                tgts = _jax.tree.map(
+                    lambda *a: jnp.stack(a), *[self.keyframe_frames[g] for _, g in pairs_p]
+                )
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(self._rng.integers(0, 2**31))), n_pad
+                )
+                res_b, summ_b = sparse.track_pairs_batch(keys, srcs, tgts, self.camera)
+                succ = np.asarray(summ_b.success).copy()
+                succ[n_real:] = False
+                good = np.nonzero(succ)[0]
+                if len(good):
+                    gi = jnp.asarray(good)
+                    csrc2, cval2, cidx2 = jax.device_get(
+                        (res_b.corr_src[gi], res_b.corr_valid[gi], res_b.corr_idx[gi])
+                    )
+                    for nn, b in enumerate(good):
+                        c, g = pairs[int(b)]
+                        res_like = _types.SimpleNamespace(
+                            corr_src=csrc2[nn], corr_valid=cval2[nn], corr_idx=cidx2[nn]
+                        )
+                        self._link_tracks(c, g, res_like)
+        if new_kf_global:
+            self.optimize()
+        return {"frames": self.frame_count, "keyframes": len(self.keyframe_frames)}
+
     def optimize(self, max_iters: int = 10) -> float | None:
         """Full BA over keyframe poses + world points (ref BASlam.cpp:281-289)."""
         n_kf = len(self.keyframe_poses)

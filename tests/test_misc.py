@@ -145,3 +145,25 @@ def test_replay_rgbd_reader_live_contract(tmp_path):
     assert rgb.shape == (8, 8, 3)
     assert float(depth[0, 0]) == 1.0  # 5000 / depth_scale
     r.close()
+
+
+def test_numeric_debug_mode_traps_nans():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from onepiece_tpu.utils import debug
+
+    debug.enable_numeric_checks()
+    try:
+        @jax.jit
+        def bad(x):
+            return jnp.log(x)
+
+        with _pytest.raises(Exception):
+            np.asarray(bad(jnp.float32(-1.0)))
+        # clean computations still pass with checks on
+        g = jnp.linalg.solve(jnp.eye(3), jnp.ones(3))
+        assert np.isfinite(np.asarray(g)).all()
+    finally:
+        debug.disable_numeric_checks()

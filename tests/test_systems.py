@@ -199,3 +199,22 @@ def test_long_loop_sequence_lc_and_pool_growth():
     assert slam.overflow == 0, f"blocks dropped: {slam.overflow}"
     # integration continued after the re-allocation
     assert slam.num_active > active_at_growth
+
+
+def test_ba_slam_process_chunk():
+    """Chunked BAFusion: on-device keyframe scan + track linking + full BA."""
+    from onepiece_tpu.systems.baslam import BASlam
+
+    frames, gt = render_seq(14)
+    slam = BASlam(CAM, fast_threshold=0.03, keyframe_disparity=10.0)
+    grays = np.stack([g for g, _ in frames])
+    depths = np.stack([d for _, d in frames])
+    slam.process_chunk(grays[:7], depths[:7])
+    slam.process_chunk(grays[7:], depths[7:])
+    est = slam.trajectory()
+    assert est.shape == (14, 4, 4)
+    ate = traj.ate_rmse(est, gt)
+    assert ate < 0.06, ate
+    assert len(slam.keyframe_frames) >= 2
+    assert len(slam.world_points) >= 8
+    assert len(slam.observations) >= 16
