@@ -21,8 +21,12 @@ def main():
     ap.add_argument("--out-traj", type=str, default="trajectory.txt")
     ap.add_argument("--voxel", type=float, default=0.02)
     ap.add_argument("--integrate-stride", type=int, default=8)
-    ap.add_argument("--fast-threshold", type=float, default=0.05)
+    ap.add_argument("--fast-threshold", type=float, default=0.01)
+    ap.add_argument("--keyframe-disparity", type=float, default=30.0)
     ap.add_argument("--ba-every", type=int, default=1)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="process frames in chunks of this size via the "
+                         "on-device keyframe scan (0 = per-frame loop)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -31,19 +35,36 @@ def main():
     from onepiece_tpu.systems.baslam import BASlam
 
     frames, cam, gt = load_frames(args)
-    slam = BASlam(cam, fast_threshold=args.fast_threshold, ba_every=args.ba_every)
+    slam = BASlam(cam, fast_threshold=args.fast_threshold, ba_every=args.ba_every,
+                   keyframe_disparity=args.keyframe_disparity)
     kept = []
     t0 = time.perf_counter()
-    for ts, gray, depth in frames:
-        info = slam.update_frame(gray, depth)
-        if info["frame"] % args.integrate_stride == 0:
-            kept.append((info["frame"], gray, depth))
-        tag = "KF" if info.get("keyframe") else "  "
-        if info["frame"] % 10 == 0 or info.get("keyframe"):
-            print(
-                f"frame {info['frame']} {tag} success={info['success']} "
-                f"tracks={len(slam.world_points)} obs={len(slam.observations)}"
-            )
+    if args.chunk > 0:
+        buf = []
+        for fi, (ts, gray, depth) in enumerate(frames):
+            buf.append((gray, depth))
+            if fi % args.integrate_stride == 0:
+                kept.append((fi, gray, depth))
+            if len(buf) == args.chunk:
+                info = slam.process_chunk(
+                    np.stack([g for g, _ in buf]), np.stack([d for _, d in buf]))
+                print(f"chunk -> {info}")
+                buf = []
+        if buf:
+            info = slam.process_chunk(
+                np.stack([g for g, _ in buf]), np.stack([d for _, d in buf]))
+            print(f"chunk -> {info}")
+    else:
+        for ts, gray, depth in frames:
+            info = slam.update_frame(gray, depth)
+            if info["frame"] % args.integrate_stride == 0:
+                kept.append((info["frame"], gray, depth))
+            tag = "KF" if info.get("keyframe") else "  "
+            if info["frame"] % 10 == 0 or info.get("keyframe"):
+                print(
+                    f"frame {info['frame']} {tag} success={info['success']} "
+                    f"tracks={len(slam.world_points)} obs={len(slam.observations)}"
+                )
     n = slam.frame_count
     dt = time.perf_counter() - t0
     print(

@@ -20,7 +20,8 @@ def main():
     ap.add_argument("--out-traj", type=str, default="trajectory.txt")
     ap.add_argument("--voxel", type=float, default=0.02)
     ap.add_argument("--integrate-stride", type=int, default=8)
-    ap.add_argument("--fast-threshold", type=float, default=0.05)
+    ap.add_argument("--fast-threshold", type=float, default=0.01)
+    ap.add_argument("--keyframe-disparity", type=float, default=30.0)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -29,7 +30,8 @@ def main():
     from onepiece_tpu.systems.fbaslam import FBASlam
 
     frames, cam, gt = load_frames(args)
-    slam = FBASlam(cam, fast_threshold=args.fast_threshold)
+    slam = FBASlam(cam, fast_threshold=args.fast_threshold,
+                   keyframe_disparity=args.keyframe_disparity)
     kept = []
     t0 = time.perf_counter()
     for ts, gray, depth in frames:
