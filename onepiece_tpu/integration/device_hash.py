@@ -144,8 +144,14 @@ def insert(
         pending = pending & ~claimed
         return tk, ts, bc, na, pending, slots
 
-    tk, ts, bc, na, pending, slots = jax.lax.fori_loop(
-        0, claim_rounds, round_body, (tk, ts, bc, na, pending, slots)
+    # steady state resolves everything in the lookup phase; skip the claim
+    # scatters entirely then (lax.cond branches really execute on TPU, and
+    # the ~4 scatters/round cost ~1.5 ms per frame otherwise)
+    tk, ts, bc, na, pending, slots = jax.lax.cond(
+        jnp.any(pending),
+        lambda args: jax.lax.fori_loop(0, claim_rounds, round_body, args),
+        lambda args: args,
+        (tk, ts, bc, na, pending, slots),
     )
     dropped = jnp.sum((valid & (slots < 0)).astype(jnp.int32))
     return BlockHashTable(tk, ts, bc, na, ov + dropped), slots
