@@ -198,12 +198,15 @@ class FBASlam:
             frames, self.camera, key, self.keyframe_disparity,
         )
         _tick("extract+scan dispatch")
-        # ONE summary fetch for the whole chunk
-        T_world, is_kf, ok, rmse, disp, pp = jax.device_get(
+        # ONE fetch for the whole chunk: scalar summaries AND the (small,
+        # ~450 KB) per-frame correspondence buffers together — a second
+        # round trip costs more than the extra bytes
+        T_world, is_kf, ok, rmse, disp, pp, csrc_all, cdst_all, cval_all = jax.device_get(
             (outs.T_world, outs.is_kf, outs.success, outs.rmse,
-             outs.disparity, outs.promote_prev)
+             outs.disparity, outs.promote_prev,
+             outs.corr_src, outs.corr_dst, outs.corr_valid)
         )
-        _tick("summary fetch")
+        _tick("summary+corr fetch")
         # failure recovery: frame i-1 promoted retroactively when frame i
         # lost tracking (see sparse_chunk_scan)
         is_kf = np.asarray(is_kf).copy()
@@ -211,14 +214,12 @@ class FBASlam:
             if i >= 1 and not is_kf[i - 1] and ok[i - 1]:
                 is_kf[i - 1] = True
         kf_rows = np.nonzero(is_kf)[0]
-        # fetch edge correspondences for promoted frames only (one fetch)
         if len(kf_rows):
-            rows = jnp.asarray(kf_rows)
-            csrc, cdst, cval = jax.device_get(
-                (outs.corr_src[rows], outs.corr_dst[rows], outs.corr_valid[rows])
-            )
+            csrc = csrc_all[kf_rows]
+            cdst = cdst_all[kf_rows]
+            cval = cval_all[kf_rows]
 
-        _tick("edge corr fetch")
+        _tick("edge corr slice")
         new_kf_global = []  # global keyframe index per promoted row
         for i in range(k):
             fidx = self.frame_count
