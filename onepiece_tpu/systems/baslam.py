@@ -189,8 +189,10 @@ class BASlam:
             jnp.asarray(self.keyframe_poses[-1], jnp.float32),
             frames, self.camera, key, self.keyframe_disparity,
         )
-        T_world, is_kf, ok, pp = jax.device_get(
-            (outs.T_world, outs.is_kf, outs.success, outs.promote_prev)
+        # one round trip: summaries + correspondence buffers together
+        T_world, is_kf, ok, pp, csrc_all, cval_all, cidx_all = jax.device_get(
+            (outs.T_world, outs.is_kf, outs.success, outs.promote_prev,
+             outs.corr_src, outs.corr_valid, outs.corr_idx)
         )
         is_kf = np.asarray(is_kf).copy()
         for i in np.nonzero(pp)[0]:
@@ -198,11 +200,9 @@ class BASlam:
                 is_kf[i - 1] = True
         kf_rows = np.nonzero(is_kf)[0]
         if len(kf_rows):
-            rows = jnp.asarray(kf_rows)
-            csrc, cdst, cval, cidx = jax.device_get(
-                (outs.corr_src[rows], outs.corr_dst[rows],
-                 outs.corr_valid[rows], outs.corr_idx[rows])
-            )
+            csrc = csrc_all[kf_rows]
+            cval = cval_all[kf_rows]
+            cidx = cidx_all[kf_rows]
 
         new_kf_global = []
         for i in range(k):
