@@ -32,6 +32,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from onepiece_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from onepiece_tpu.geometry import se3
     from onepiece_tpu.geometry.camera import TUM_CAMERA
     from onepiece_tpu.integration.blocks import TSDFVolume

@@ -198,10 +198,14 @@ def insert_at(
     tk, ts, pending = jax.lax.fori_loop(
         0, claim_rounds, round_body, (tk, ts, valid)
     )
-    bc = bc.at[jnp.where(valid, slots, cap)].set(
+    # only keys that actually won a table cell are reachable: count and
+    # write coords for those alone, so num_active/occupancy always agrees
+    # with what lookup() can find (dropped keys go to overflow instead)
+    claimed_ok = valid & ~pending
+    bc = bc.at[jnp.where(claimed_ok, slots, cap)].set(
         unpack_keys(keys), mode="drop"
     )
-    na = jnp.sum(valid.astype(jnp.int32))
+    na = jnp.sum(claimed_ok.astype(jnp.int32))
     dropped = jnp.sum(pending.astype(jnp.int32))
     return BlockHashTable(tk, ts, bc, na, ov + dropped)
 

@@ -267,10 +267,12 @@ class LoopClosureDetector:
         considering only keyframes with index < limit."""
         if limit <= 0:
             return []
-        sims = sims[:limit]
+        # statistics over the FULL similarity vector (matching
+        # select_candidates); only the candidate ordering is restricted to
+        # indices < limit, so chunked and per-frame paths agree
         salient = salient_scores(sims)
         salient = np.where(sims < MIN_SHARED_SCORE, np.minimum(salient, 1.0), salient)
-        order = np.argsort(-salient, kind="stable")
+        order = np.argsort(-salient[:limit], kind="stable")
         return [int(i) for i in order[:MAX_CANDIDATES] if salient[i] > SALIENT_THRESHOLD]
 
     def select_candidates(

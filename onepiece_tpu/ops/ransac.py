@@ -160,9 +160,18 @@ def homography_filter(
     9x9 normal matrix), scored by symmetric-free transfer error.
     Returns the filtered validity mask.
     """
-    # normalise for DLT conditioning (fixed similarity: center+scale)
-    center = jnp.array([320.0, 240.0], jnp.float32)
-    scale = jnp.float32(1.0 / 200.0)
+    # normalise for DLT conditioning: Hartley-style similarity derived from
+    # the (valid) points themselves — centroid + mean distance — so the
+    # 6 px threshold stays well-conditioned at any image resolution
+    vw = valid.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(vw), 1.0)
+    center = jnp.sum(jnp.concatenate([uv_src, uv_dst], 0)
+                     * jnp.concatenate([vw, vw])[:, None], axis=0) / (2.0 * n_valid)
+    mean_dist = jnp.sum(
+        (jnp.linalg.norm(uv_src - center, axis=-1)
+         + jnp.linalg.norm(uv_dst - center, axis=-1)) * vw
+    ) / (2.0 * n_valid)
+    scale = 1.0 / jnp.maximum(mean_dist, 1e-6)
     s_n = (uv_src - center) * scale
     d_n = (uv_dst - center) * scale
 

@@ -263,7 +263,10 @@ class BASlam:
                             corr_src=csrc2[nn], corr_valid=cval2[nn], corr_idx=cidx2[nn]
                         )
                         self._link_tracks(c, g, res_like)
-        if new_kf_global:
+        # honour the ba_every schedule the per-frame path uses: run BA at a
+        # chunk boundary only if one of the chunk's new keyframes landed on
+        # the schedule (new_kf % ba_every == 0)
+        if new_kf_global and any(g % self.ba_every == 0 for g in new_kf_global):
             self.optimize()
         return {"frames": self.frame_count, "keyframes": len(self.keyframe_frames)}
 

@@ -374,7 +374,10 @@ class FusedDenseFusion:
             new_tbl = dh.insert_at(
                 new_tbl, keys, jnp.arange(new_cap, dtype=jnp.int32)
             )
-            tbl = new_tbl._replace(overflow=st.table.overflow)
+            # carry forward the historical overflow AND any keys the rebuild
+            # itself dropped, so rebuild losses stay visible to the
+            # `overflow == 0` long-run assertion
+            tbl = new_tbl._replace(overflow=st.table.overflow + new_tbl.overflow)
             self.table_size = new_tbl.table_keys.shape[0]
         self.capacity = new_cap
         self._state = st._replace(vox=grown, table=tbl)

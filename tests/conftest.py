@@ -19,3 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# persistent compile cache: a warm suite run skips ~all XLA compiles (the
+# dominant cost of the compile-heavy system/parallel tests on CPU)
+from onepiece_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()

@@ -10,6 +10,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from onepiece_tpu.geometry.camera import PRESETS, PinholeCamera, TUM_CAMERA  # noqa: E402
+from onepiece_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 
 def add_dataset_args(ap):

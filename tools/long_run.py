@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from onepiece_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from onepiece_tpu.geometry.camera import TUM_CAMERA as cam
     from onepiece_tpu.io import trajectory as traj
     from onepiece_tpu.systems.fbaslam import FBASlam
