@@ -94,6 +94,63 @@ def _similarity_scores_batch(q_descs, q_valids, db_desc, db_valid, num_keyframes
     )
 
 
+def salient_scores_device(sims: jax.Array, g: jax.Array) -> jax.Array:
+    """Device (traceable) version of `salient_scores` over a CAPACITY-padded
+    similarity vector: statistics over rows [0, g), same trailing-streak
+    trim and degenerate-case handling as the host version.
+    """
+    n_cap = sims.shape[0]
+    idx = jnp.arange(n_cap)
+    m = (idx < g).astype(jnp.float32)
+    gf = jnp.maximum(g.astype(jnp.float32), 1.0)
+    avg = jnp.sum(sims * m) / gf
+    # hist = largest index with sims[i] < avg (the reference slices [0:hist])
+    below = (idx < g) & (sims < avg)
+    hist = jnp.max(jnp.where(below, idx, -1))
+    sm = (idx < hist).astype(jnp.float32)
+    histf = jnp.maximum(hist.astype(jnp.float32), 1.0)
+    mean = jnp.sum(sims * sm) / histf
+    delta = jnp.sqrt(jnp.sum(sm * jnp.square(sims - mean))) / jnp.maximum(
+        jnp.sqrt(histf - 1.0), 1.0
+    )
+    sal = (sims - delta) / jnp.maximum(mean, 1e-12)
+    sal = jnp.where((mean < 1e-8) | (hist < 3), jnp.ones_like(sal), sal)
+    return jnp.where(hist <= 0, jnp.full_like(sal, 3.0), sal)
+
+
+def lc_candidates_device(
+    q_desc: jax.Array,  # (F, 8) uint32
+    q_valid: jax.Array,  # (F,)
+    db_desc: jax.Array,  # (N_CAP, F, 8)
+    db_valid: jax.Array,  # (N_CAP, F)
+    g: jax.Array,  # () int32: DB rows < g participate in the statistics
+    limit: jax.Array,  # () int32: candidate ordering restricted to idx < limit
+    exclude: jax.Array,  # () int32: candidate index to skip (-1 for none)
+    max_candidates: int = MAX_CANDIDATES,
+) -> tuple[jax.Array, jax.Array]:
+    """Fully on-device candidate selection for one keyframe query.
+
+    Mirrors `select_candidates` (ref: MildLCDetector.cpp:7-40): tf-idf
+    similarity over keyframes [0, g), salient filter (threshold 1.5),
+    ordering restricted to indices < `limit` (g-1 for loop-closure edges —
+    the immediately previous keyframe is the odometry partner — or g for
+    relocalisation), top `max_candidates`. Returns (indices (M,),
+    valid (M,)).
+    """
+    n_cap = db_desc.shape[0]
+    idx = jnp.arange(n_cap)
+    row_mask = idx < g
+    sims = _similarity_scores(
+        q_desc, q_valid, db_desc, db_valid & row_mask[:, None], num_keyframes=g
+    )
+    sal = salient_scores_device(sims, g)
+    sal = jnp.where(sims < MIN_SHARED_SCORE, jnp.minimum(sal, 1.0), sal)
+    order_mask = (idx < limit) & (idx != exclude)
+    scores = jnp.where(order_mask, sal, -jnp.inf)
+    vals, top = jax.lax.top_k(scores, max_candidates)
+    return top, vals > SALIENT_THRESHOLD
+
+
 def salient_scores(sims: np.ndarray) -> np.ndarray:
     """Reference `calculateSalientScore` (ref: BayesianFilter.hpp:40-100).
 

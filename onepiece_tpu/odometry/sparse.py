@@ -75,12 +75,13 @@ def extract_sparse_frame(
     return SparseFrame(kp, pts, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("camera",))
+@functools.partial(jax.jit, static_argnames=("camera", "num_hypotheses"))
 def _match_and_estimate(
     key: jax.Array,
     source: SparseFrame,
     target: SparseFrame,
     camera: PinholeCamera,
+    num_hypotheses: int = RANSAC_HYPOTHESES,
 ) -> SparseTrackingResult:
     # round 1: descriptor match + ratio test
     idx, ok = hamming.match_descriptors(
@@ -98,7 +99,7 @@ def _match_and_estimate(
     res1 = ransac.ransac_rigid(
         keys[-2], src_pts, dst_pts, ok,
         threshold=RANSAC_THRESHOLD,
-        num_hypotheses=RANSAC_HYPOTHESES,
+        num_hypotheses=num_hypotheses,
         sample_size=RANSAC_SAMPLES,
         norm_z=src_pts[:, 2],
     )
@@ -115,7 +116,7 @@ def _match_and_estimate(
     res2 = ransac.ransac_rigid(
         keys[-1], src_pts, dst2, ok2,
         threshold=RANSAC_THRESHOLD,
-        num_hypotheses=RANSAC_HYPOTHESES,
+        num_hypotheses=num_hypotheses,
         sample_size=RANSAC_SAMPLES,
         norm_z=src_pts[:, 2],
     )
@@ -283,9 +284,9 @@ def se3_inverse(T: jax.Array) -> jax.Array:
     return out.at[:3, 3].set(-R.T @ t)
 
 
-def _track_summary_inner(key, source, target, camera):
+def _track_summary_inner(key, source, target, camera, num_hypotheses=RANSAC_HYPOTHESES):
     """Unjitted body shared by `_track_summary` and the chunk scan."""
-    res = _match_and_estimate(key, source, target, camera)
+    res = _match_and_estimate(key, source, target, camera, num_hypotheses)
     uv_src = source.kp.uv
     uv_dst, _ = camera.project(res.corr_dst)
     d = jnp.linalg.norm(uv_dst - uv_src, axis=-1)
