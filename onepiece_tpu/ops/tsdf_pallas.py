@@ -106,6 +106,33 @@ def _kernel(
     kk = lin % n
     i = pl.program_id(0)
     key = keys_ref[i]
+    # padding grid steps (key == INVALID, slot == trash row) skip ALL
+    # compute: in steady state roughly half the kmax slots are padding, and
+    # each non-skipped step costs ~100 bf16 MFLOPs of selection matmuls.
+    # The out block (trash row) receives whatever VMEM holds — harmless.
+    _INVALID = 1 << 30  # python int: a jnp constant would be captured
+
+    @pl.when(key != _INVALID)
+    def _do_integrate():
+        _integrate_body(
+            slots_ref, keys_ref, vox_ref, img_ref, tcw_ref, out_ref,
+            lin=lin, ii=ii, jj=jj, kk=kk, key=key,
+            fx=fx, fy=fy, cx=cx, cy=cy, h=h, w=w,
+            voxel_size=voxel_size, truncation=truncation,
+            max_weight=max_weight, win_r=win_r, win_c=win_c,
+        )
+
+    @pl.when(key == _INVALID)
+    def _passthrough():
+        out_ref[...] = vox_ref[...]
+
+
+def _integrate_body(
+    slots_ref, keys_ref, vox_ref, img_ref, tcw_ref, out_ref,
+    *, lin, ii, jj, kk, key,
+    fx, fy, cx, cy, h, w, voxel_size, truncation, max_weight, win_r, win_c,
+):
+    n = CUBE_SIZE
     bx = ((key >> 20) & 1023) - 512
     by = ((key >> 10) & 1023) - 512
     bz = (key & 1023) - 512
@@ -135,66 +162,85 @@ def _kernel(
 
     rrel = vi - r0  # (1, 512)
     crel = ui - c0
-    in_win = inb & (rrel >= 0) & (rrel < win_r) & (crel >= 0) & (crel < win_c)
-
-    # --- one-hot selects: cols via bf16 matmul, rows via masked reduce ----
+    # --- one-hot col select shared by both row-window paths ----------------
     # colselT[c, v] = (crel[v] == c): (win_c, 512), voxels stay on lanes
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (win_c, 1), 0)
     colselT = (jnp.clip(crel, 0, win_c - 1) == col_ids).astype(jnp.bfloat16)
-    # rowmask[r, v] = (rrel[v] == r): (win_r, 512) f32 for the row reduce
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (win_r, 1), 0)
-    rowmask = (rrel == row_ids).astype(jnp.float32)
 
-    def _select(win_bf16):
-        # precision must be DEFAULT: the package-global "highest" requests an
-        # fp32 contract that Mosaic rejects for bf16 operands — and bf16 is
-        # exact here anyway (one-hot rhs selecting bf16 planes).
-        tmp = jax.lax.dot_general(
-            win_bf16, colselT,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # (win_r, 512): [r, v] = win[r, crel[v]]
-        return jnp.sum(tmp * rowmask, axis=0, keepdims=True)  # (1, 512)
+    def _do_window(wr: int):
+        """Select + TSDF update with a wr-row image window at (r0, c0)."""
+        in_win = inb & (rrel >= 0) & (rrel < wr) & (crel >= 0) & (crel < win_c)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (wr, 1), 0)
+        rowmask = (rrel == row_ids).astype(jnp.float32)
 
-    if img_ref.dtype == jnp.float32:
-        # raw [depth, gray] planes: split depth into bf16 hi+lo INSIDE the
-        # kernel (per-window, tiny) so the caller never pays a whole-image
-        # pack/relayout pass (~11 ms at 640x480 on v5e).
-        win_d = img_ref[0, pl.ds(r0, win_r), pl.ds(c0, win_c)]
-        d_hi = win_d.astype(jnp.bfloat16)
-        d_lo = (win_d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        win_g = img_ref[1, pl.ds(r0, win_r), pl.ds(c0, win_c)].astype(jnp.bfloat16)
-        vals = [_select(d_hi), _select(d_lo), _select(win_g)]
-        n_img_ch = 3
+        def _select(win_bf16):
+            # precision must be DEFAULT: the package-global "highest"
+            # requests an fp32 contract that Mosaic rejects for bf16
+            # operands — and bf16 is exact here anyway (one-hot rhs
+            # selecting bf16 planes).
+            tmp = jax.lax.dot_general(
+                win_bf16, colselT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (wr, 512): [r, v] = win[r, crel[v]]
+            return jnp.sum(tmp * rowmask, axis=0, keepdims=True)  # (1, 512)
+
+        if img_ref.dtype == jnp.float32:
+            # raw [depth, gray] planes: split depth into bf16 hi+lo INSIDE
+            # the kernel (per-window, tiny) so the caller never pays a
+            # whole-image pack/relayout pass (~11 ms at 640x480 on v5e).
+            win_d = img_ref[0, pl.ds(r0, wr), pl.ds(c0, win_c)]
+            d_hi = win_d.astype(jnp.bfloat16)
+            d_lo = (win_d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            win_g = img_ref[1, pl.ds(r0, wr), pl.ds(c0, win_c)].astype(jnp.bfloat16)
+            vals = [_select(d_hi), _select(d_lo), _select(win_g)]
+            n_img_ch = 3
+        else:
+            n_img_ch = img_ref.shape[0]  # 5 = [d_hi,d_lo,r,g,b]; 3 = [d_hi,d_lo,g]
+            vals = [
+                _select(img_ref[ch, pl.ds(r0, wr), pl.ds(c0, win_c)])
+                for ch in range(n_img_ch)
+            ]
+
+        d_px = vals[0] + vals[1]  # hi + lo
+        sdf_m = d_px - zc  # (1, 512)
+        # --- reference update rule (Integrator.cpp:36-94) ------------------
+        upd = in_win & (d_px > 0) & (sdf_m > -truncation)
+        tsdf_new = jnp.clip(sdf_m / truncation, -1.0, 1.0)
+
+        sdf_old = vox_ref[0, 0:1, :]  # (1, 512)
+        w_old = vox_ref[0, 1:2, :]
+        w_new = jnp.where(upd, jnp.minimum(w_old + 1.0, max_weight), w_old)
+        denom = 1.0 / jnp.clip(w_old + 1.0, 1.0, None)
+        sdf_safe = jnp.where(w_old > 0, sdf_old, 0.0)
+        sdf_out = jnp.where(upd, (sdf_safe * w_old + tsdf_new) * denom, sdf_old)
+        out_ref[0, 0:1, :] = sdf_out
+        out_ref[0, 1:2, :] = w_new
+        for ch in range(3):
+            c_px = vals[2 + ch] if n_img_ch == 5 else vals[2]  # gray: r=g=b
+            c_old = vox_ref[0, 2 + ch : 3 + ch, :]
+            c_safe = jnp.where(w_old > 0, c_old, 0.0)
+            out_ref[0, 2 + ch : 3 + ch, :] = jnp.where(
+                upd, (c_safe * w_old + c_px) * denom, c_old
+            )
+
+    if win_r > 64:
+        # FAST PATH: most blocks (z >~ 1.5 m) project into < 64 rows; their
+        # selection matmul + row reduce run at half the FLOPs. The row span
+        # is exact — voxels outside the image are excluded before the max.
+        rmax = jnp.max(jnp.where(inb, vi, -1))
+        fits_small = (rmax - r0) < 64
+
+        @pl.when(fits_small)
+        def _small():
+            _do_window(64)
+
+        @pl.when(~fits_small)
+        def _large():
+            _do_window(win_r)
     else:
-        n_img_ch = img_ref.shape[0]  # 5 = [d_hi, d_lo, r, g, b]; 3 = [d_hi, d_lo, g]
-        vals = [
-            _select(img_ref[ch, pl.ds(r0, win_r), pl.ds(c0, win_c)])
-            for ch in range(n_img_ch)
-        ]
-
-    d_px = vals[0] + vals[1]  # hi + lo
-    sdf_m = d_px - zc  # (1, 512)
-    # --- reference update rule (Integrator.cpp:36-94) ---------------------
-    upd = in_win & (d_px > 0) & (sdf_m > -truncation)
-    tsdf_new = jnp.clip(sdf_m / truncation, -1.0, 1.0)
-
-    sdf_old = vox_ref[0, 0:1, :]  # (1, 512)
-    w_old = vox_ref[0, 1:2, :]
-    w_new = jnp.where(upd, jnp.minimum(w_old + 1.0, max_weight), w_old)
-    denom = 1.0 / jnp.clip(w_old + 1.0, 1.0, None)
-    sdf_safe = jnp.where(w_old > 0, sdf_old, 0.0)
-    sdf_out = jnp.where(upd, (sdf_safe * w_old + tsdf_new) * denom, sdf_old)
-    out_ref[0, 0:1, :] = sdf_out
-    out_ref[0, 1:2, :] = w_new
-    for ch in range(3):
-        c_px = vals[2 + ch] if n_img_ch == 5 else vals[2]  # gray: r = g = b
-        c_old = vox_ref[0, 2 + ch : 3 + ch, :]
-        c_safe = jnp.where(w_old > 0, c_old, 0.0)
-        out_ref[0, 2 + ch : 3 + ch, :] = jnp.where(
-            upd, (c_safe * w_old + c_px) * denom, c_old
-        )
+        _do_window(win_r)
 
 
 @functools.partial(
