@@ -1,0 +1,199 @@
+"""Full-SLAM-state checkpoint/resume for the production systems.
+
+The reference serialises only the TSDF volume
+(ref: src/Integration/CubeHandler.h:40-128 WriteToFile/ReadFromFile,
+VoxelCube.h:128-193 WriteToBuffer/ReadFromBuffer); a crashed run loses all
+keyframe / loop-closure / pose state. SURVEY §5 plans an orbax-style
+checkpoint of (block pool, hash table, poses, keyframe DB) enabling
+mid-run restart for multi-host runs — this module implements it for both
+production systems:
+
+  - `FusedDenseFusion`: device FusedState (frame pyramid, poses, block
+    hash table, voxel pool) + host trajectory mirrors;
+  - `FusedFBASlam`: device SparseDevState (keyframe DB = descriptors,
+    keypoints, 3-D points; pose array; pose-graph edge store; failure-
+    ladder scalars) + host anchors/relative poses + the host RNG state.
+
+Format: one .npz per checkpoint — every pytree leaf under a path-derived
+key, plus a JSON `meta` blob (config scalars, host lists, RNG state).
+Resume restores bit-identical state: a run that checkpoints at frame N and
+resumes in a fresh process produces the same trajectory as the
+uninterrupted run (asserted by tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten_state(state) -> dict:
+    """Pytree leaves -> {leaf<i>: np.ndarray}, structure-order stable."""
+    leaves = jax.tree.leaves(state)
+    return {f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)}
+
+
+def _unflatten_state(template, data: dict):
+    """Rebuild a pytree with template's structure from saved leaves."""
+    treedef = jax.tree.structure(template)
+    t_leaves = jax.tree.leaves(template)
+    leaves = []
+    for i, tl in enumerate(t_leaves):
+        a = data[f"leaf{i}"]
+        assert a.shape == tl.shape, (i, a.shape, tl.shape)
+        leaves.append(jnp.asarray(a, tl.dtype))
+    return jax.tree.unflatten(treedef, leaves)
+
+
+# -- FusedDenseFusion ---------------------------------------------------------
+
+
+def save_dense(slam, path: str) -> None:
+    """Checkpoint a FusedDenseFusion mid-run (poses, pool, table, pyramid)."""
+    meta = {
+        "system": "fused_dense",
+        "frame_count": slam.frame_count,
+        "capacity": slam.capacity,
+        "table_size": slam.table_size,
+        "kmax": slam.kmax,
+        "stride": slam.stride,
+        "voxel_size": slam.voxel_size,
+        "truncation": slam.truncation,
+        "iters": list(slam.iters),
+        "radii": list(slam.radii),
+        "interpret": slam.interpret,
+    }
+    arrs = _flatten_state(slam._state)
+    arrs["host_poses"] = np.stack([np.asarray(p) for p in slam._poses])
+    arrs["host_rmses"] = np.stack([np.asarray(r) for r in slam._rmses])
+    np.savez_compressed(path, meta=json.dumps(meta), **arrs)
+
+
+def load_dense(path: str, camera):
+    """Restore a FusedDenseFusion; continues exactly where it left off."""
+    from ..systems.fused_slam import FusedDenseFusion, FusedState
+    from ..integration import device_hash as dh
+    from ..ops import tsdf_pallas as tp
+    from ..odometry import dense
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    assert meta["system"] == "fused_dense", meta
+    slam = FusedDenseFusion(
+        camera,
+        voxel_size=meta["voxel_size"], truncation=meta["truncation"],
+        capacity=meta["capacity"], table_size=meta["table_size"],
+        kmax=meta["kmax"], stride=meta["stride"],
+        iters=tuple(meta["iters"]), radii=tuple(meta["radii"]),
+        interpret=meta.get("interpret", False),
+    )
+    # structure template with the right shapes (no kernels executed)
+    cams = camera.pyramid(dense.DEFAULT_LEVELS)
+    pyr = dense.FramePyramid(
+        grays=tuple(jnp.zeros((c.height, c.width), jnp.float32) for c in cams),
+        depths=tuple(jnp.zeros((c.height, c.width), jnp.float32) for c in cams),
+        xyzs=tuple(jnp.zeros((c.height, c.width, 3), jnp.float32) for c in cams),
+    )
+    eye = jnp.eye(4, dtype=jnp.float32)
+    template = FusedState(
+        pyr=pyr, T_w=eye, rel=eye,
+        table=dh.make_table(meta["table_size"], meta["capacity"]),
+        vox=tp.make_pool(meta["capacity"]),
+    )
+    slam._state = _unflatten_state(template, z)
+    slam.frame_count = meta["frame_count"]
+    slam._poses = [jnp.asarray(p) for p in z["host_poses"]]
+    slam._rmses = [jnp.asarray(r) for r in z["host_rmses"]]
+    return slam
+
+
+# -- FusedFBASlam -------------------------------------------------------------
+
+
+def save_sparse(slam, path: str) -> None:
+    """Checkpoint a FusedFBASlam mid-run (keyframe DB, edges, anchors, RNG)."""
+    meta = {
+        "system": "fused_sparse",
+        "frame_count": slam.frame_count,
+        "num_kf": slam.num_kf,
+        "num_edges": slam.num_edges,
+        "edge_overflow": slam.edge_overflow,
+        "lc_edges_total": slam.lc_edges_total,
+        "kf_capacity": slam.kf_capacity,
+        "edge_capacity": slam.edge_capacity,
+        "corr_capacity": slam.corr_capacity,
+        "max_keypoints": slam.max_keypoints,
+        "fast_threshold": slam.fast_threshold,
+        "keyframe_disparity": slam.keyframe_disparity,
+        "num_hypotheses": slam.num_hypotheses,
+        "anchors": slam._anchors,
+        "ok": slam._ok,
+        "iskf": slam._iskf,
+        "rng_state": slam._rng.bit_generator.state,
+    }
+    arrs = _flatten_state(slam._state)
+    arrs["host_trels"] = np.stack(slam._Trels) if slam._Trels else np.zeros((0, 4, 4), np.float32)
+    arrs["host_kf_pose"] = slam._kf_pose
+    np.savez_compressed(path, meta=json.dumps(meta), **arrs)
+
+
+def load_sparse(path: str, camera):
+    """Restore a FusedFBASlam; continues exactly where it left off."""
+    from ..systems.fused_sparse import FusedFBASlam, make_state
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    assert meta["system"] == "fused_sparse", meta
+    slam = FusedFBASlam(
+        camera,
+        max_keypoints=meta["max_keypoints"],
+        fast_threshold=meta["fast_threshold"],
+        keyframe_disparity=meta["keyframe_disparity"],
+        num_hypotheses=meta["num_hypotheses"],
+        kf_capacity=meta["kf_capacity"],
+        edge_capacity=meta["edge_capacity"],
+        corr_capacity=meta["corr_capacity"],
+    )
+    template = make_state(
+        meta["kf_capacity"], meta["edge_capacity"], meta["corr_capacity"],
+        meta["max_keypoints"],
+    )
+    slam._state = _unflatten_state(template, z)
+    slam.frame_count = meta["frame_count"]
+    slam.num_kf = meta["num_kf"]
+    slam.num_edges = meta["num_edges"]
+    slam.edge_overflow = meta["edge_overflow"]
+    slam.lc_edges_total = meta["lc_edges_total"]
+    slam._anchors = list(meta["anchors"])
+    slam._ok = list(meta["ok"])
+    slam._iskf = list(meta["iskf"])
+    slam._Trels = [t for t in z["host_trels"]]
+    slam._kf_pose = z["host_kf_pose"]
+    slam._rng.bit_generator.state = meta["rng_state"]
+    return slam
+
+
+def save(slam, path: str) -> None:
+    """Dispatch on system type."""
+    from ..systems.fused_slam import FusedDenseFusion
+    from ..systems.fused_sparse import FusedFBASlam
+
+    if isinstance(slam, FusedDenseFusion):
+        save_dense(slam, path)
+    elif isinstance(slam, FusedFBASlam):
+        save_sparse(slam, path)
+    else:
+        raise TypeError(f"no checkpoint support for {type(slam)}")
+
+
+def load(path: str, camera):
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    if meta["system"] == "fused_dense":
+        return load_dense(path, camera)
+    if meta["system"] == "fused_sparse":
+        return load_sparse(path, camera)
+    raise ValueError(f"unknown checkpoint system {meta['system']}")

@@ -28,18 +28,28 @@ def main():
     ap.add_argument("--chunk", type=int, default=1,
                     help="frames per device dispatch (lax.scan); >1 trades "
                     "chunk-sized latency for launch-overhead-free throughput")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="write a full-SLAM-state checkpoint here at the end")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="resume from a checkpoint written by --checkpoint")
     args = ap.parse_args()
 
     from onepiece_tpu.io import trajectory as traj
     from onepiece_tpu.io.ply import dedup_triangle_soup, write_ply_mesh
     from onepiece_tpu.systems.fused_slam import FusedDenseFusion
 
+    from onepiece_tpu.utils import checkpoint as ckpt
+
     frames, cam, gt = load_frames(args)
     radii = tuple(int(x) for x in args.radii.split(","))
-    slam = FusedDenseFusion(
-        cam, voxel_size=args.voxel, truncation=args.voxel * 8,
-        capacity=args.capacity, radii=radii,
-    )
+    if args.resume:
+        slam = ckpt.load(args.resume, cam)
+        print(f"resumed from {args.resume} at frame {slam.frame_count}")
+    else:
+        slam = FusedDenseFusion(
+            cam, voxel_size=args.voxel, truncation=args.voxel * 8,
+            capacity=args.capacity, radii=radii,
+        )
     t0 = time.perf_counter()
     n = 0
     if args.chunk > 1:
@@ -64,8 +74,13 @@ def main():
     print(f"fused slam: {n} frames in {dt:.2f}s ({n / dt:.2f} fps), "
           f"{slam.num_active} blocks, overflow {slam.overflow}")
     traj.write_matrix_trajectory(args.out_traj, poses)
+    if args.checkpoint:
+        ckpt.save(slam, args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}")
     if gt is not None:
-        print(f"ATE RMSE: {traj.ate_rmse(poses, np.asarray(gt)[: len(poses)]):.5f} m")
+        gt = np.asarray(gt)
+        m = min(len(poses), len(gt))
+        print(f"ATE RMSE (first {m} frames): {traj.ate_rmse(poses[:m], gt[:m]):.5f} m")
 
     t1 = time.perf_counter()
     vol = slam.to_volume()
