@@ -114,7 +114,18 @@ def ba_step(
     num_frames: int,
     num_points: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """One damped step: returns (new_poses, new_points, predicted_ok)."""
+    """One damped step: returns (new_poses, new_points, predicted_ok).
+
+    Schur complement as ONE dense matmul (the TPU-native formulation):
+    the block-sparse cross term W (6F x 3P, one 6x3 block per observation)
+    is scatter-assembled dense, the point-block inverse is applied as a
+    batched (P, 3, 3) einsum, and S = U_diag - (W V^-1) W^T hits the MXU
+    as a (6F, 3P) x (3P, 6F) contraction. This removes the r3 path's
+    (P, Omax, Omax, 6, 6) pair tensor (7+ GB at P=20k, Omax=50) — memory
+    is now 2 * 6F * 3P floats (288 MB at the F=200/P=20k/O=100k target
+    scale) and the pair reduction is pure matmul FLOPs. (ref: the
+    Eigen block products + SimplicialLDLT of BundleAdjustment.cpp:219-234.)
+    """
     poses, points, obs = problem
     F, P = num_frames, num_points
     r, J_pose, J_point, w = _residuals_jacobians(poses, points, obs, fx, fy, cx, cy)
@@ -129,39 +140,43 @@ def ba_step(
     b_c = jnp.zeros((F, 6)).at[obs.frame].add(jnp.einsum("oki,o,ok->oi", J_pose, w, r))
     b_p = jnp.zeros((P, 3)).at[obs.point].add(jnp.einsum("oki,o,ok->oi", J_point, w, r))
 
-    # LM damping (ref: BundleAdjustment.cpp:175-187 adds lambda to diagonals)
-    U = U + lam * jnp.eye(6)[None]
-    V = V + lam * jnp.eye(3)[None]
+    # LM damping, Marquardt (diagonal-scaled) form. The reference adds an
+    # absolute lambda (BundleAdjustment.cpp:175-187) but INITIALISES it from
+    # the max diagonal (:48-58), i.e. its damping is diagonal-relative too.
+    # An absolute 1e-4 vanishes in f32 once diagonals reach ~1e4 (eps(2e4) =
+    # 2e-3), leaving near-singular V blocks whose f32 inverse NaNs.
+    def damp(M, eye):
+        d = jnp.einsum("bii->b", M) / eye.shape[0]
+        return M + (lam * jnp.abs(M) + (1e-6 * d[:, None, None] + 1e-9)) * eye
+
+    U = damp(U, jnp.eye(6))
+    V = damp(V, jnp.eye(3))
     Vinv = jnp.linalg.inv(V)  # batched 3x3
 
-    # Schur: per-point pair reduction
-    lists = obs.obs_of_point  # (P, Omax)
-    lmask = lists >= 0
-    safe = jnp.clip(lists, 0, max(W.shape[0] - 1, 0))
-    Wp = jnp.where(lmask[..., None, None], W[safe], 0.0)  # (P, Omax, 6, 3)
-    fidx = jnp.where(lmask, obs.frame[safe], 0)  # (P, Omax)
-    Y = jnp.einsum("poik,pkl->poil", Wp, Vinv)  # (P, Omax, 6, 3)
-    pair = jnp.einsum("paik,pbjk->pabij", Y, Wp)  # (P, Omax, Omax, 6, 6)
-    S = jnp.zeros((F, F, 6, 6))
-    S = S.at[fidx[:, :, None], fidx[:, None, :]].add(pair)
-    S = (
-        jnp.zeros((F, F, 6, 6)).at[jnp.arange(F), jnp.arange(F)].set(U) - S
-    )
-    yb = jnp.einsum("poik,pk->poi", Y, b_p)  # (P, Omax, 6)
-    rhs_c = b_c - jnp.zeros((F, 6)).at[fidx.reshape(-1)].add(yb.reshape(-1, 6))
+    # dense block-sparse W: (F, 6, P, 3), one block per observation
+    Wd = jnp.zeros((F, 6, P, 3)).at[obs.frame, :, obs.point, :].add(W)
+    Y = jnp.einsum("fipk,pkl->fipl", Wd, Vinv)  # W V^-1, (F, 6, P, 3)
+    Ym = Y.reshape(F * 6, P * 3)
+    Wm = Wd.reshape(F * 6, P * 3)
+    S = -Ym @ Wm.T  # (6F, 6F) — the MXU does the pair reduction
+    fi = jnp.arange(F * 6).reshape(F, 6)
+    S = S.at[fi[:, :, None], fi[:, None, :]].add(U)
+    rhs_c = b_c.reshape(F * 6) - Ym @ b_p.reshape(P * 3)
 
-    Sd = S.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
-    bd = rhs_c.reshape(F * 6)
-    A = Sd[6:, 6:]
-    L = jnp.linalg.cholesky(A + 1e-9 * jnp.eye(6 * (F - 1)))
-    dc = jax.scipy.linalg.cho_solve((L, True), -bd[6:])
+    A = S[6:, 6:]
+    # scale-aware jitter + LU (not Cholesky): at 10^4+ observations the f32
+    # cancellation in U - W V^-1 W^T can leave S very slightly indefinite,
+    # which NaNs a Cholesky; pivoted LU still produces a usable GN
+    # direction and the LM rollback guards step quality.
+    jitter = 1e-7 * jnp.mean(jnp.diag(A)) + 1e-9
+    A = A + jitter * jnp.eye(6 * (F - 1))
+    dc = jnp.linalg.solve(0.5 * (A + A.T), -rhs_c[6:])
     ok = jnp.all(jnp.isfinite(dc))
     dc = jnp.where(ok, dc, 0.0)
     delta_c = jnp.concatenate([jnp.zeros((1, 6)), dc.reshape(F - 1, 6)], axis=0)
 
-    # back-substitute points: dp = -V^-1 (b_p + W^T dc) summed over point's obs
-    wtd = jnp.einsum("poik,poi->pok", Wp, delta_c[fidx])  # (P, Omax, 3) -> sum
-    wtdc = jnp.sum(wtd, axis=1)
+    # back-substitute points: dp = -V^-1 (b_p + W^T dc)
+    wtdc = (Wm.T @ delta_c.reshape(F * 6)).reshape(P, 3)
     dp = -jnp.einsum("pij,pj->pi", Vinv, b_p + wtdc)
     dp = jnp.where(ok, dp, 0.0)
 
@@ -174,15 +189,32 @@ def optimize(
     problem: BAProblem,
     fx: float, fy: float, cx: float, cy: float,
     max_iters: int = DEFAULT_MAX_ITERS,
-    lam0: float = 1e-4,
+    lam0: float = 3e-5,
+    anchor_scale: bool = True,
     verbose: bool = False,
 ) -> tuple[BAProblem, float]:
     """LM loop with rollback (host-controlled like the reference's outer loop).
+
+    `anchor_scale`: pure-2D reprojection BA has a 7th gauge freedom —
+    uniformly scaling all camera centers and points about the fixed pose 0
+    leaves every reprojection unchanged, so LM can silently drift the
+    metric scale the depth-initialised points carried. After the loop the
+    solution is re-scaled (a zero-cost gauge transform) so the pose-0 ->
+    pose-1 baseline keeps its initial length.
 
     Returns (optimized problem, final mean squared reprojection error).
     """
     F = problem.poses.shape[0]
     P = problem.points.shape[0]
+
+    def center(T_cw):
+        R = T_cw[:3, :3]
+        return -R.T @ T_cw[:3, 3]
+
+    init_poses = np.asarray(problem.poses)
+    c0 = center(init_poses[0])
+    baseline0 = float(np.linalg.norm(center(init_poses[1]) - c0)) if F >= 2 else 0.0
+
     lam = lam0
     cost, wsum = ba_cost(problem, fx, fy, cx, cy, F, P)
     cost = float(cost)
@@ -200,5 +232,22 @@ def optimize(
             lam = min(lam * 2.0, 1e6)  # ref: x2 + rollback on failure
         if verbose:
             print(f"BA iter {it}: cost {cost:.6f} lam {lam:.2e}")
+
+    if anchor_scale and F >= 2 and baseline0 > 1e-9:
+        poses_o = np.asarray(problem.poses)
+        baseline1 = float(np.linalg.norm(center(poses_o[1]) - c0))
+        if baseline1 > 1e-9:
+            s = baseline0 / baseline1
+            new_poses = poses_o.copy()
+            for i in range(F):
+                R = poses_o[i, :3, :3]
+                ci = c0 + s * (center(poses_o[i]) - c0)
+                new_poses[i, :3, 3] = -R @ ci
+            new_points = c0[None] + s * (np.asarray(problem.points) - c0[None])
+            problem = BAProblem(
+                jnp.asarray(new_poses), jnp.asarray(new_points), problem.obs
+            )
+            cost = float(ba_cost(problem, fx, fy, cx, cy, F, P)[0])
+
     denom = float(ba_cost(problem, fx, fy, cx, cy, F, P)[1])
     return problem, cost / max(denom, 1.0)

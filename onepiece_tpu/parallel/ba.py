@@ -73,19 +73,30 @@ def _local_schur(poses, points_sh, frame_pp, uv_pp, mask_pp, lam, fx, fy, cx, cy
     U = jnp.zeros((F, 6, 6)).at[frame_pp].add(
         jnp.einsum("poki,po,pokj->poij", J_pose, w, J_pose)
     )
-    V = jnp.einsum("poki,po,pokj->pij", J_point, w, J_point) + lam * jnp.eye(3)[None]
+    V = jnp.einsum("poki,po,pokj->pij", J_point, w, J_point)
+    # Marquardt (diagonal-relative) damping — see optimization/bundle.py:
+    # an absolute lambda underflows f32 addition at real problem scales
+    dV = jnp.einsum("pii->p", V) / 3.0
+    V = V + (lam * jnp.abs(V) + (1e-6 * dV[:, None, None] + 1e-9)) * jnp.eye(3)
     W = jnp.einsum("poki,po,pokj->poij", J_pose, w, J_point)  # (Ps, Omax, 6, 3)
     b_c = jnp.zeros((F, 6)).at[frame_pp].add(jnp.einsum("poki,po,pok->poi", J_pose, w, r))
     b_p = jnp.einsum("poki,po,pok->pi", J_point, w, r)  # (Ps, 3)
 
     Vinv = jnp.linalg.inv(V)
-    Y = jnp.einsum("poik,pkl->poil", W, Vinv)
-    pair = jnp.einsum("paik,pbjk->pabij", Y, W)
-    S_sub = jnp.zeros((F, F, 6, 6)).at[frame_pp[:, :, None], frame_pp[:, None, :]].add(pair)
-    yb = jnp.einsum("poik,pk->poi", Y, b_p)
-    rhs_sub = jnp.zeros((F, 6)).at[frame_pp.reshape(-1)].add(yb.reshape(-1, 6))
+    # Schur cross term as one dense matmul per shard (same formulation as
+    # optimization/bundle.py ba_step): assemble the shard's block-sparse W
+    # as (6F, 3Ps) dense and let the MXU do the pair reduction — the old
+    # (Ps, Omax, Omax, 6, 6) pair tensor was the scaling bomb.
+    ps = W.shape[0]
+    Wd = jnp.zeros((F, 6, ps, 3)).at[
+        frame_pp, :, jnp.arange(ps)[:, None], :
+    ].add(W)
+    Ym = jnp.einsum("fipk,pkl->fipl", Wd, Vinv).reshape(F * 6, ps * 3)
+    Wm = Wd.reshape(F * 6, ps * 3)
+    S_sub = Ym @ Wm.T  # (6F, 6F)
+    rhs_sub = (Ym @ b_p.reshape(ps * 3)).reshape(F, 6)
     cost = jnp.einsum("po,pok->", w, r * r)
-    return U, S_sub, b_c, rhs_sub, Vinv, W, b_p, cost
+    return U, S_sub, b_c, rhs_sub, Vinv, Wm, b_p, cost
 
 
 def distributed_ba_step(
@@ -114,7 +125,7 @@ def distributed_ba_step(
         check_rep=False,
     )
     def step(poses_r, pts_sh, f_sh, uv_sh, m_sh):
-        U, S_sub, b_c, rhs_sub, Vinv, W, b_p, cost = _local_schur(
+        U, S_sub, b_c, rhs_sub, Vinv, Wm, b_p, cost = _local_schur(
             poses_r, pts_sh, f_sh, uv_sh, m_sh, lamf, fx, fy, cx, cy, F
         )
         # the collective: reduce camera-system contributions over ICI
@@ -124,20 +135,21 @@ def distributed_ba_step(
         rhs_sub = jax.lax.psum(rhs_sub, axis)
         cost = jax.lax.psum(cost, axis)
 
-        U = U + lamf * jnp.eye(6)[None]
-        S = jnp.zeros((F, F, 6, 6)).at[jnp.arange(F), jnp.arange(F)].set(U) - S_sub
-        rhs = b_c - rhs_sub
-        Sd = S.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
-        bd = rhs.reshape(F * 6)
-        L = jnp.linalg.cholesky(Sd[6:, 6:] + 1e-9 * jnp.eye(6 * (F - 1)))
+        dU = jnp.einsum("fii->f", U) / 6.0
+        U = U + (lamf * jnp.abs(U) + (1e-6 * dU[:, None, None] + 1e-9)) * jnp.eye(6)
+        fi = jnp.arange(F * 6).reshape(F, 6)
+        S = (-S_sub).at[fi[:, :, None], fi[:, None, :]].add(U)
+        bd = (b_c - rhs_sub).reshape(F * 6)
+        L = jnp.linalg.cholesky(S[6:, 6:] + 1e-9 * jnp.eye(6 * (F - 1)))
         dc = jax.scipy.linalg.cho_solve((L, True), -bd[6:])
         ok = jnp.all(jnp.isfinite(dc))
         dc = jnp.where(ok, dc, 0.0)
         delta_c = jnp.concatenate([jnp.zeros((1, 6)), dc.reshape(F - 1, 6)], 0)
         new_poses = jnp.einsum("fij,fjk->fik", se3.se3_exp(delta_c), poses_r)
 
-        # local point back-substitution
-        wtdc = jnp.sum(jnp.einsum("poik,poi->pok", W, delta_c[f_sh]), axis=1)
+        # local point back-substitution (Wm^T maps camera deltas to points)
+        ps = pts_sh.shape[0]
+        wtdc = (Wm.T @ delta_c.reshape(F * 6)).reshape(ps, 3)
         dp = -jnp.einsum("pij,pj->pi", Vinv, b_p + wtdc)
         dp = jnp.where(ok, dp, 0.0)
         return new_poses, pts_sh + dp, cost
