@@ -395,3 +395,34 @@ def submap_pipeline_sharded(
     opt = solve_pose_graph(base_np, edges, geos)
     frame_poses = np.einsum("sij,sfjk->sfik", opt, np.asarray(tracks.rel))
     return frame_poses.reshape(s * f, 4, 4), opt, edges
+
+
+def dryrun(mesh: Mesh, camera, axis: str = "d") -> None:
+    """One submap per device on tiny frames; validates that the sharded
+    pipeline (ppermute consecutive ICP + all_gather loop registration +
+    replicated pose-graph solve) compiles and runs on this mesh. Joins the
+    driver's dryrun_multichip so all five SURVEY scaling axes are covered."""
+    import jax.numpy as jnp
+
+    from ..utils import synthetic
+
+    n_dev = mesh.shape[axis]
+    s, f = n_dev, 2
+    scene = synthetic.default_scene()
+    poses = synthetic.orbit_trajectory(s * f)
+    grays, depths = [], []
+    for i in range(s * f):
+        d, g = synthetic.render(
+            scene, jnp.asarray(poses[i]), camera.fx, camera.fy, camera.cx,
+            camera.cy, camera.height, camera.width, num_steps=32,
+        )
+        grays.append(np.asarray(g))
+        depths.append(np.asarray(d))
+    grays = np.stack(grays).reshape(s, f, camera.height, camera.width)
+    depths = np.stack(depths).reshape(s, f, camera.height, camera.width)
+    fp, base, edges = submap_pipeline_sharded(
+        grays, depths, camera, mesh, voxel_size=0.08, cloud_capacity=256,
+        axis=axis,
+    )
+    assert np.isfinite(fp).all(), "sharded submap pipeline produced non-finite poses"
+    print("parallel.submap dryrun ok:", n_dev, "submaps")

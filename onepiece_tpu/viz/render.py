@@ -98,7 +98,9 @@ def render_mesh(
     fl = np.linalg.norm(fn, axis=-1)
     ok_f = fl > 1e-12
     fn[ok_f] = fn[ok_f] / fl[ok_f][:, None]
-    shade = 0.25 + 0.75 * np.clip(fn @ ld, 0, 1)
+    # double-sided lighting: marching-cubes face orientation is arbitrary
+    # per sign convention, and one-sided shading blacks out half the mesh
+    shade = 0.3 + 0.7 * np.abs(fn @ ld)
 
     if colors is None:
         base = np.full((len(faces), 3), 0.7)

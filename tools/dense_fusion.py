@@ -20,6 +20,10 @@ def main():
 
     add_dataset_args(ap)
     ap.add_argument("--out-mesh", type=str, default="mesh.ply")
+    ap.add_argument("--turntable", type=str, default="",
+                    help="directory for a rotating-view PNG sequence + GIF of the final mesh")
+    ap.add_argument("--turntable", type=str, default="",
+                    help="directory for a rotating-view PNG sequence + GIF of the final mesh")
     ap.add_argument("--out-traj", type=str, default="trajectory.txt")
     ap.add_argument("--voxel", type=float, default=0.02)
     ap.add_argument("--integrate-stride", type=int, default=8,
@@ -67,6 +71,16 @@ def main():
     verts, faces, cols = dedup_triangle_soup(tv, tc)
     write_ply_mesh(args.out_mesh, verts, faces, colors=cols)
     print(f"mesh: {len(verts)} verts {len(faces)} faces -> {args.out_mesh}")
+    if args.turntable:
+        import os as _os
+
+        from render_turntable import render_turntable
+
+        render_turntable(
+            np.asarray(verts), np.asarray(faces), args.turntable,
+            colors=None if cols is None else np.asarray(cols),
+            gif=_os.path.join(args.turntable, "turntable.gif"),
+        )
 
 
 if __name__ == "__main__":

@@ -20,6 +20,8 @@ def main():
 
     add_dataset_args(ap)
     ap.add_argument("--out-mesh", type=str, default="fused_mesh.ply")
+    ap.add_argument("--turntable", type=str, default="",
+                    help="directory for a rotating-view PNG sequence + GIF of the final mesh")
     ap.add_argument("--out-traj", type=str, default="fused_trajectory.txt")
     ap.add_argument("--voxel", type=float, default=0.0125)
     ap.add_argument("--radii", type=str, default="4,3,2",
@@ -89,6 +91,16 @@ def main():
     write_ply_mesh(args.out_mesh, verts, faces, colors=cols)
     print(f"mesh: {len(verts)} verts {len(faces)} faces in "
           f"{time.perf_counter() - t1:.2f}s -> {args.out_mesh}")
+    if args.turntable:
+        import os as _os
+
+        from render_turntable import render_turntable
+
+        render_turntable(
+            np.asarray(verts), np.asarray(faces), args.turntable,
+            colors=None if cols is None else np.asarray(cols),
+            gif=_os.path.join(args.turntable, "turntable.gif"),
+        )
 
 
 if __name__ == "__main__":
