@@ -30,6 +30,7 @@ def seq():
     return np.stack(grays), np.stack(depths), poses
 
 
+@pytest.mark.slow
 def test_dense_checkpoint_resume(seq, tmp_path):
     from onepiece_tpu.systems.fused_slam import FusedDenseFusion
 

@@ -191,6 +191,7 @@ class TestPallasIntegrate:
 
 
 class TestFusedSLAM:
+    @pytest.mark.slow
     def test_fused_two_frames_synthetic(self):
         from onepiece_tpu.geometry.camera import TUM_CAMERA
         from onepiece_tpu.systems.fused_slam import FusedDenseFusion
@@ -223,6 +224,7 @@ class TestFusedSLAM:
         s = np.asarray(vol.sdf)
         assert (np.abs(s[w > 0]) < 0.5).sum() > 100
 
+    @pytest.mark.slow
     def test_chunked_matches_per_frame(self):
         """One-dispatch lax.scan chunk == per-frame dispatch loop exactly."""
         from onepiece_tpu.geometry.camera import TUM_CAMERA

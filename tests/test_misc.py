@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onepiece_tpu.geometry import geometry2d as g2d
 from onepiece_tpu.geometry.camera import PinholeCamera
@@ -74,6 +75,7 @@ def test_software_renderer():
     assert abs(cx - CAM.cx) < 10 and abs(cy - CAM.cy) < 10
 
 
+@pytest.mark.slow
 def test_pipelined_fusion_matches_eager():
     import jax
 

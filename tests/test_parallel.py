@@ -70,6 +70,7 @@ def test_fused_sharded_matches_single_device(mesh, cam):
     fused.dryrun(mesh, cam)  # raises on any mismatch vs single-device pool
 
 
+@pytest.mark.slow
 def test_mc_sharded_and_migration_match_single_device(mesh, cam):
     from onepiece_tpu.parallel import mc
 
@@ -78,6 +79,7 @@ def test_mc_sharded_and_migration_match_single_device(mesh, cam):
     mc.dryrun(mesh, cam)
 
 
+@pytest.mark.slow
 def test_submap_parallel_matches_serial(mesh, cam):
     """One submap per device (SURVEY axis 4): the sharded pipeline
     (ppermute consecutive ICP, all_gather loop registration, replicated

@@ -26,6 +26,7 @@ def render_seq(n):
     return out, poses
 
 
+@pytest.mark.slow
 def test_dense_slam_short_sequence():
     frames, gt = render_seq(12)
     slam = DenseSlam(CAM, submap_size=6)

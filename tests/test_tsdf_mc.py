@@ -71,6 +71,7 @@ def test_integration_allocates_band():
     assert (d < vol.truncation + block_diag).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_tsdf_values_match_analytic_sdf():
     vol = fuse_sphere(n_views=5)
     from onepiece_tpu.ops.tsdf import voxel_centers_world
@@ -92,6 +93,7 @@ def test_tsdf_values_match_analytic_sdf():
     assert np.quantile(err, 0.9) < vol.voxel_size * 2.5, np.quantile(err, 0.9)
 
 
+@pytest.mark.slow
 def test_marching_cubes_sphere_geometry():
     vol = fuse_sphere(n_views=5)
     tv, tc = vol.extract_mesh()
