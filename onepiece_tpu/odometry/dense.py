@@ -298,6 +298,105 @@ def _bilinear_prewarp(
     return stack6, valid
 
 
+def _track_level_direct(
+    T0: jax.Array,
+    src_xyz: jax.Array,  # (H, W, 3)
+    src_gray: jax.Array,  # (H, W)
+    term: "dops.TermData",  # target planes, channels-first, NO packing
+    cam: PinholeCamera,
+    iters: int,
+    radius: int,
+    lambda_depth: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather-free GN with DIRECT stencil sampling of the target planes.
+
+    Numerically this is `dense_tracking_exact`'s bilinear sampling (the
+    stencil's tent weights ARE bilinear interpolation), valid whenever the
+    per-pixel displacement uv(x) - x stays within radius-1 pixels — true at
+    the finest level once the coarser levels have converged the pose. It
+    skips the quad-row pack (+3.4 ms of 28-channel relayout) and the
+    307k-row prewarp gather (+4.4 ms of per-index cost) entirely, and
+    needs no warp-Jacobian correction (the sampling map is the identity).
+    Pixels whose displacement exceeds the stencil drop out of the normal
+    equations (graceful: the coarser levels' pose survives).
+    """
+    from ..ops import warp as warp_ops
+
+    fx = jnp.float32(cam.fx)
+    fy = jnp.float32(cam.fy)
+    cx = jnp.float32(cam.cx)
+    cy = jnp.float32(cam.cy)
+    h, w = src_gray.shape
+    z_src = src_xyz[..., 2]
+    src_valid = z_src > 0
+    stack6 = jnp.stack([term.gray, term.dx, term.dy, term.depth, term.zdx, term.zdy])
+    tgt_valid = term.depth > 0
+    grid_u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    grid_v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    lam = jnp.float32(lambda_depth)
+    ddm = jnp.float32(DEPTH_DIFF_MAX)
+
+    def project(T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        p = jnp.einsum("ij,hwj->hwi", R, src_xyz) + t
+        z = p[..., 2]
+        zs = jnp.where(z > 1e-6, z, 1.0)
+        u = p[..., 0] / zs * fx + cx
+        v = p[..., 1] / zs * fy + cy
+        return p, z, u, v
+
+    def body(_, carry):
+        T, _c, _n = carry
+        p, z, u, v = project(T)
+        d = jnp.stack([u - grid_u, v - grid_v])
+        vals, ok = warp_ops.stencil_sample(stack6, tgt_valid, d, radius)
+        g, gx, gy, zt, ztx, zty = (vals[i] for i in range(6))
+        r_i = g - src_gray
+        r_z = zt - z
+        valid = ok & src_valid & (z > 1e-6) & (jnp.abs(r_z) < ddm)
+
+        px, py = p[..., 0], p[..., 1]
+        inv_z = 1.0 / jnp.where(z > 1e-6, z, 1.0)
+        a = fx * inv_z
+        b = fy * inv_z
+
+        def twist_rows(cx_, cy_, extra_z=0.0):
+            g1 = cx_ * a
+            g2 = cy_ * b
+            g3 = -(cx_ * a * px + cy_ * b * py) * inv_z + extra_z
+            w1 = py * g3 - z * g2
+            w2 = z * g1 - px * g3
+            w3 = px * g2 - py * g1
+            return (g1, g2, g3, w1, w2, w3)
+
+        Ji = twist_rows(gx, gy)
+        Jz = twist_rows(ztx, zty, extra_z=-1.0)
+        vf = valid.astype(jnp.float32)
+        wi = vf * (1.0 - lam)
+        wz = vf * lam
+        Ji_m = jnp.stack([x.reshape(-1) for x in Ji])
+        Jz_m = jnp.stack([x.reshape(-1) for x in Jz])
+        wi_f = wi.reshape(-1)
+        wz_f = wz.reshape(-1)
+        JTJ = jnp.einsum("in,n,jn->ij", Ji_m, wi_f, Ji_m) + jnp.einsum(
+            "in,n,jn->ij", Jz_m, wz_f, Jz_m
+        )
+        JTr = Ji_m @ (wi_f * r_i.reshape(-1)) + Jz_m @ (wz_f * r_z.reshape(-1))
+        cost = jnp.sum(wi * r_i * r_i + wz * r_z * r_z)
+        nin = jnp.sum(vf)
+        A = JTJ + 1e-6 * jnp.eye(6, dtype=JTJ.dtype)
+        xi = jnp.linalg.solve(A, -JTr)
+        good = jnp.all(jnp.isfinite(xi)) & (nin > 6)
+        xi = jnp.where(good, xi, 0.0)
+        return se3.se3_exp(xi) @ T, cost, nin
+
+    return jax.lax.fori_loop(
+        0, iters, body, (T0, jnp.float32(0.0), jnp.float32(0.0))
+    )
+
+
 def _track_level_prewarp(
     T0: jax.Array,
     src_xyz: jax.Array,  # (H, W, 3)
@@ -421,7 +520,9 @@ def _track_level_prewarp(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("camera", "iters", "radii", "lambda_depth", "polish"),
+    static_argnames=(
+        "camera", "iters", "radii", "lambda_depth", "polish", "direct_fine",
+    ),
 )
 def dense_tracking(
     source: FramePyramid,
@@ -432,6 +533,7 @@ def dense_tracking(
     radii: tuple[int, ...] = (8, 4, 4),
     lambda_depth: float = LAMBDA_HYBRID_DEPTH,
     polish: int = 0,
+    direct_fine: bool = False,
 ) -> DenseTrackingResult:
     """TPU-fast multi-scale dense tracking (bilinear pre-warp + stencil).
 
@@ -460,6 +562,18 @@ def dense_tracking(
     quad0 = None
     for li in reversed(range(levels)):  # coarsest first
         k = levels - 1 - li
+        if direct_fine and li == 0:
+            # finest level without prewarp — ONLY for small-baseline
+            # streams where inter-frame motion <= radius-1 px (see
+            # _track_level_direct's docstring for the constraint)
+            term = dops.build_term_data(
+                target.grays[li], target.depths[li], SOBEL_SCALE
+            )
+            T, cost, nin = _track_level_direct(
+                T, source.xyzs[li], source.grays[li], term, cams[li],
+                iters[k], radii[k], lambda_depth,
+            )
+            continue
         quad = _pack_quad_rows(
             dops.build_term_data(target.grays[li], target.depths[li], SOBEL_SCALE)
         )
@@ -476,6 +590,7 @@ def dense_tracking(
             lambda_depth,
         )
     if polish > 0:
+        assert quad0 is not None, "polish requires the prewarp fine level"
         T, cost, nin = _track_level_prewarp(
             T,
             source.xyzs[0],

@@ -97,11 +97,13 @@ def _frame_body(
     iters: tuple[int, ...],
     radii: tuple[int, ...],
     interpret: bool,
+    direct_fine: bool = False,
 ) -> tuple[FusedState, FrameOut]:
     """Traceable body shared by the per-frame and scanned-chunk steps."""
     pyr = dense.preprocess_frame(gray, depth, camera)
     res = dense.dense_tracking(
-        state.pyr, pyr, camera, init_T=state.rel, iters=iters, radii=radii
+        state.pyr, pyr, camera, init_T=state.rel, iters=iters, radii=radii,
+        direct_fine=direct_fine,
     )
     T_w = state.T_w @ se3.inverse_T(res.T_ts)
     d_f = bilateral_filter(depth)
@@ -120,7 +122,7 @@ def _frame_body(
     jax.jit,
     static_argnames=(
         "camera", "voxel_size", "truncation", "kmax", "stride", "max_weight",
-        "iters", "radii", "interpret",
+        "iters", "radii", "interpret", "direct_fine",
     ),
     donate_argnums=(0,),
 )
@@ -138,11 +140,12 @@ def fused_frame_step(
     iters: tuple[int, ...] = dense.DEFAULT_ITERS,
     radii: tuple[int, ...] = (8, 4, 4),
     interpret: bool = False,
+    direct_fine: bool = False,
 ) -> tuple[FusedState, FrameOut]:
     """One frame of tracking + fusion, entirely on device."""
     return _frame_body(
         state, gray, depth, rgb, camera, voxel_size, truncation,
-        kmax, stride, max_weight, iters, radii, interpret,
+        kmax, stride, max_weight, iters, radii, interpret, direct_fine,
     )
 
 
@@ -150,7 +153,7 @@ def fused_frame_step(
     jax.jit,
     static_argnames=(
         "camera", "voxel_size", "truncation", "kmax", "stride", "max_weight",
-        "iters", "radii", "interpret",
+        "iters", "radii", "interpret", "direct_fine",
     ),
     donate_argnums=(0,),
 )
@@ -168,6 +171,7 @@ def fused_chunk_step(
     iters: tuple[int, ...] = dense.DEFAULT_ITERS,
     radii: tuple[int, ...] = (8, 4, 4),
     interpret: bool = False,
+    direct_fine: bool = False,
 ) -> tuple[FusedState, FrameOut]:
     """K frames of tracking + fusion in ONE dispatch (`lax.scan` over frames).
 
@@ -186,7 +190,7 @@ def fused_chunk_step(
             g, d, rgb = xs
         st, out = _frame_body(
             st, g, d, rgb, camera, voxel_size, truncation,
-            kmax, stride, max_weight, iters, radii, interpret,
+            kmax, stride, max_weight, iters, radii, interpret, direct_fine,
         )
         return st, out
 
@@ -255,6 +259,7 @@ class FusedDenseFusion:
     iters: tuple[int, ...] = dense.DEFAULT_ITERS
     radii: tuple[int, ...] = (8, 4, 4)
     interpret: bool = False
+    direct_fine: bool = False  # finest level: direct stencil (no prewarp)
 
     def __post_init__(self):
         self._state: FusedState | None = None
@@ -288,6 +293,7 @@ class FusedDenseFusion:
             self._state, gray, depth, rgb, self.camera,
             self.voxel_size, self.truncation, self.kmax, self.stride,
             iters=self.iters, radii=self.radii, interpret=self.interpret,
+            direct_fine=self.direct_fine,
         )
         # out.T_w shares a buffer with the state leaf that gets DONATED next
         # frame — keep a private copy so finalize() can still read it
@@ -324,6 +330,7 @@ class FusedDenseFusion:
             self._state, grays, depths, rgbs, self.camera,
             self.voxel_size, self.truncation, self.kmax, self.stride,
             iters=self.iters, radii=self.radii, interpret=self.interpret,
+            direct_fine=self.direct_fine,
         )
         # outs leaves are stacked (K, ...) and independent of the donated
         # state buffers, but copy T_w defensively (finalize may run after
