@@ -15,6 +15,12 @@ example/FBAFusion/FBASlam.{h,cpp}, driver FBAFusion.cpp:10-105):
 Device work (feature extraction, matching, RANSAC, pose-graph GN) is jitted;
 this module is the host-side frame loop, exactly the part of the reference
 that is irregular control flow.
+
+NOTE: the PRODUCTION sparse system is `systems/fused_sparse.FusedFBASlam`
+(the whole chunk as one device program + one fetch; ~2x the reference CPU
+on-chip). This host-loop version stays as the reference-shaped
+implementation: easier to instrument, per-frame latency, and the oracle
+the fused path is tested against.
 """
 
 from __future__ import annotations

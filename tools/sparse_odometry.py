@@ -18,7 +18,7 @@ def main():
 
     add_dataset_args(ap)
     ap.add_argument("--out", type=str, default="trajectory_sparse.txt")
-    ap.add_argument("--fast-threshold", type=float, default=0.05)
+    ap.add_argument("--fast-threshold", type=float, default=0.01)  # matches fba_fusion; 0.05 starves low-contrast scenes
     args = ap.parse_args()
 
     import jax.numpy as jnp
