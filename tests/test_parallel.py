@@ -114,9 +114,11 @@ def test_submap_parallel_matches_serial(mesh, cam):
     )
     assert np.array_equal(np.asarray(edges_sh.valid), np.asarray(edges_ser.valid))
     # the sharded body compiles with different XLA fusion than the serial
-    # jits, so 28-iteration GN reductions reassociate; chained over 8
-    # submaps that bounds the pose difference at a few mm, not bit-equality
-    np.testing.assert_allclose(base_sh, base_ser, atol=1e-2)
-    np.testing.assert_allclose(fp_sh, fp_ser, atol=1e-2)
+    # jits, so 28-iteration GN reductions reassociate (and the bf16
+    # quad-row casts land at different fusion points); chained over 8
+    # submaps that bounds the pose difference at a couple of cm, not
+    # bit-equality
+    np.testing.assert_allclose(base_sh, base_ser, atol=3e-2)
+    np.testing.assert_allclose(fp_sh, fp_ser, atol=3e-2)
     # the consecutive-ICP edges must actually have fired
     assert np.asarray(edges_sh.valid)[1:, 0].sum() >= s - 2
