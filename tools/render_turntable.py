@@ -44,8 +44,14 @@ def render_turntable(
     height: int = 480,
     elevation: float = 0.35,
     gif: str | None = None,
+    arc_deg: float = 360.0,
+    start_deg: float = 0.0,
 ) -> list[str]:
-    """Write `frames` orbit views of the mesh; returns the PNG paths."""
+    """Write `frames` orbit views of the mesh; returns the PNG paths.
+
+    arc_deg < 360 sweeps a partial arc centred on start_deg and appends
+    the reversed frames so the GIF ping-pongs smoothly (useful when the
+    mesh is open on one side — e.g. a room scanned from within)."""
     from onepiece_tpu.geometry.camera import PinholeCamera
     from onepiece_tpu.viz.render import render_mesh, save_gray_png
 
@@ -58,8 +64,13 @@ def render_turntable(
     )
     paths = []
     images = []
+    partial = arc_deg < 359.0
     for i in range(frames):
-        a = 2.0 * np.pi * i / frames
+        if partial:
+            s01 = i / max(frames - 1, 1)
+            a = np.deg2rad(start_deg + (s01 - 0.5) * arc_deg)
+        else:
+            a = np.deg2rad(start_deg) + 2.0 * np.pi * i / frames
         eye = center + radius * np.array(
             [np.sin(a), -elevation, -np.cos(a)]
         )
@@ -71,7 +82,8 @@ def render_turntable(
         images.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
         print(f"  view {i + 1}/{frames} -> {path}", flush=True)
     if gif:
-        _write_gif(gif, images)
+        seq = images + images[-2:0:-1] if partial else images
+        _write_gif(gif, seq)
         print(f"gif -> {gif}")
     return paths
 
@@ -187,6 +199,10 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--gif", type=str, default="",
                     help="also write an animated GIF here")
+    ap.add_argument("--arc", type=float, default=360.0,
+                    help="sweep arc in degrees (partial arcs ping-pong)")
+    ap.add_argument("--start", type=float, default=0.0,
+                    help="arc centre / orbit start angle in degrees")
     ap.add_argument("--gain", type=float, default=1.0,
                     help="brightness gain applied to vertex colors")
     ap.add_argument("--shaded-only", action="store_true",
@@ -208,7 +224,7 @@ def main():
         verts, faces, args.out_dir,
         colors=None if colors is None else np.asarray(colors),
         frames=args.frames, width=args.width, height=args.height,
-        gif=args.gif or None,
+        gif=args.gif or None, arc_deg=args.arc, start_deg=args.start,
     )
 
 
