@@ -300,11 +300,18 @@ def touched_block_keys(
     keys = (c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2]
     keys = jnp.where(valid, keys, INVALID_KEY)
     # cheap pre-dedupe before the (sort-backed) unique: consecutive ray
-    # offsets of the same pixel usually land in the same block, so masking
-    # equal neighbours along the offset axis shrinks the sort ~3x
-    ko = keys.reshape(len(OFFSET_FRACTIONS), -1)
+    # offsets of the same pixel usually land in the same block (vertical
+    # pass), and at a 0.1 m block edge several consecutive stride-8 pixels
+    # of a row do too (horizontal pass) — together they shrink the sort ~5x
+    hs = -(-depth.shape[0] // stride)
+    ws = -(-depth.shape[1] // stride)
+    ko = keys.reshape(len(OFFSET_FRACTIONS), hs, ws)
     dup = jnp.concatenate(
-        [jnp.zeros((1, ko.shape[1]), bool), ko[1:] == ko[:-1]], axis=0
+        [jnp.zeros((1, hs, ws), bool), ko[1:] == ko[:-1]], axis=0
+    )
+    dup = dup | jnp.concatenate(
+        [jnp.zeros((len(OFFSET_FRACTIONS), hs, 1), bool), ko[:, :, 1:] == ko[:, :, :-1]],
+        axis=2,
     )
     keys = jnp.where(dup.reshape(-1), INVALID_KEY, keys)
     return jnp.unique(keys, size=max_blocks, fill_value=INVALID_KEY)
