@@ -7,7 +7,11 @@ the fully fused step, to locate where the per-frame milliseconds go.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
