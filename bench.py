@@ -98,7 +98,9 @@ def main() -> None:
     warm_s = FusedFBASlam(cam)
     warm_s.process_chunk(grays, depths)
     dt_s = None
-    for _ in range(3):
+    # best-of-4: the remote-chip tunnel injects multi-ms jitter; the sparse
+    # chunk is short enough that extra repeats are cheap
+    for _ in range(4):
         slam_s = FusedFBASlam(cam)
         t0 = time.perf_counter()
         slam_s.process_chunk(grays, depths)
