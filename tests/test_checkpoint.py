@@ -85,3 +85,27 @@ def test_sparse_checkpoint_resume(seq, tmp_path):
     np.testing.assert_allclose(b_traj, ref_traj, atol=1e-6)
     assert b.num_kf == ref.num_kf
     assert b.num_edges == ref.num_edges
+
+
+def test_sparse_checkpoint_after_capacity_growth(seq, tmp_path):
+    """Checkpoints taken AFTER the device arrays grew must restore the grown
+    capacities and keep producing the uninterrupted trajectory."""
+    from onepiece_tpu.systems.fused_sparse import FusedFBASlam
+
+    grays, depths, _ = seq
+    kw = dict(max_keypoints=500, keyframe_disparity=1e-6,  # every frame a KF
+              kf_capacity=8, edge_capacity=16)
+
+    ref = FusedFBASlam(CAM, **kw)
+    ref.process_chunk(grays[:6], depths[:6])
+    ref.process_chunk(grays[6:], depths[6:])
+
+    a = FusedFBASlam(CAM, **kw)
+    a.process_chunk(grays[:6], depths[:6])
+    assert a.kf_capacity > 8  # grew
+    path = str(tmp_path / "grown.npz")
+    checkpoint.save(a, path)
+    b = checkpoint.load(path, CAM)
+    assert b.kf_capacity == a.kf_capacity
+    b.process_chunk(grays[6:], depths[6:])
+    np.testing.assert_allclose(b.trajectory(), ref.trajectory(), atol=1e-6)

@@ -145,6 +145,10 @@ def main():
     }
     print("fba:", sparse, flush=True)
     assert fba.edge_overflow == 0, "edge store overflowed despite growth"
+    # drift regression gate (VERDICT r3 weak #8): the post-optimisation
+    # long-run ATE must stay at or under the reference CPU's measured
+    # 22.8 mm (BASELINE_MEASURED sparse_fba_ate_rmse_m_cpu) + 20% headroom
+    assert fba_ate <= 0.0228 * 1.2, f"long-run sparse drift regressed: {fba_ate}"
 
     with open(args.metrics, "w") as f:
         for m in metrics:
