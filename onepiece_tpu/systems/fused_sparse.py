@@ -563,7 +563,10 @@ class FusedFBASlam:
 
         One recompile per doubling (cached persistently)."""
         st = self._state
-        if self.num_kf + 2 * next_k + 2 > self.kf_capacity:
+        # `while`, not `if`: a chunk larger than half the current capacity
+        # needs more than one doubling, and an under-provisioned DB silently
+        # stops promoting keyframes mid-chunk (the in-scan guard)
+        while self.num_kf + 2 * next_k + 2 > self.kf_capacity:
             st = st._replace(
                 kf=_grow_axis0(st.kf, self.kf_capacity),
                 kf_pose=jnp.concatenate(
@@ -574,7 +577,7 @@ class FusedFBASlam:
             )
             self.kf_capacity *= 2
         # worst case per chunk: 2K promotions x (1 odometry + 7 LC) edges
-        if self.num_edges + 2 * next_k * (mild.MAX_CANDIDATES + 1) > self.edge_capacity:
+        while self.num_edges + 2 * next_k * (mild.MAX_CANDIDATES + 1) > self.edge_capacity:
             e = st.edges
             st = st._replace(
                 edges=EdgeStore(
