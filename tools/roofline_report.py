@@ -30,7 +30,7 @@ HBM_GBS = 819.0  # TPU v5e
 BF16_TFLOPS = 197.0
 
 
-def make_scan_bench(n_iter=20):
+def make_scan_bench(n_iter=150):
     import jax
     import jax.numpy as jnp
 
@@ -255,10 +255,17 @@ def main():
         r = icp.point_to_point(p, valid, pts, valid, threshold=0.5, iters=5)
         return p + 0.0 * r.T[0, 3]
 
-    t = bench_carried(icp_step, pts, n=3)
+    t = bench_carried(icp_step, pts, n=12)
+    # bytes: the Pallas NN keeps distance tiles in VMEM — HBM sees only the
+    # point arrays per tile pass (the r3/r4-early "62% of HBM roof" figure
+    # used a fictitious all-distances-to-HBM model; honest scan timing put
+    # it over 100% of the roof, exposing the model). The kernel is
+    # VPU-bound (distance + running-min chains); no public VPU roof exists,
+    # so FLOP/s is reported without a percent-of-roof claim.
+    n_tiles = 20000 // 2048 + 1
     report(
-        "icp point_to_point (20k pts, 5 iters)", t,
-        5 * 20000 * 20000 * 6, 5 * 20000 * 20000 * 4,
+        "icp point_to_point (20k pts, 5 iters, VPU-bound)", t,
+        5 * 20000 * 20000 * 8, 5 * n_tiles * 2 * 20000 * 3 * 4,
     )
 
     # --- production fused frame step (the number that matters) ------------
@@ -270,7 +277,7 @@ def main():
     state = state._replace(T_w=jnp.eye(4), rel=jnp.eye(4))
     grays2 = jnp.stack([g0, g1])
     depths2 = jnp.stack([d0, d1])
-    n_rep = 10
+    n_rep = 50
     gg = jnp.tile(grays2, (n_rep, 1, 1))
     dd = jnp.tile(depths2, (n_rep, 1, 1))
     st2, _ = fs.fused_chunk_step(
@@ -318,10 +325,10 @@ def main():
         "hbm_roof_gbs": HBM_GBS,
         "mxu_roof_tflops_bf16": BF16_TFLOPS,
         "notes": (
-            "All rows are scan-amortised: each kernel runs N iterations "
+            "All rows are scan-amortised: each kernel runs 150+ iterations "
             "inside one jitted lax.scan (alternating inputs / carried "
-            "outputs defeat hoisting), so per-iteration times are on-chip "
-            "steady state with zero dispatch overhead. FLOP/byte models are "
+            "outputs defeat hoisting), so the ~24 ms per-CALL tunnel round "
+            "trip adds <0.2 ms of bias per row. FLOP/byte models are "
             "analytic estimates per kernel. The dense pipeline is "
             "stencil/gather shaped (HBM roof applies); the TSDF one-hot "
             "selection and the hamming matcher ride the MXU (MXU roof "
