@@ -53,6 +53,8 @@ class FrameOut(NamedTuple):
     T_w: jax.Array
     rmse: jax.Array
     num_inliers: jax.Array
+    keys_saturated: jax.Array  # () bool: touched-key buffer hit kmax this
+    # frame — some blocks may integrate a frame late ("no silent caps")
 
 
 def _integrate(
@@ -63,6 +65,11 @@ def _integrate(
         depth_f, T_w, camera.fx, camera.fy, camera.cx, camera.cy,
         voxel_size, truncation, max_blocks=kmax, stride=stride,
     )
+    # unique() sorts with INVALID (the largest value) as padding at the
+    # tail; a real key in the last slot means the buffer filled and keys
+    # may have been dropped (they retry on later frames, sorted-tail
+    # biased) — surfaced instead of silent
+    saturated = keys[-1] != tsdf_ops.INVALID_KEY
     # steady state uses TWO claim rounds: round 1 resolves all same-cell
     # races in practice (losers re-target their next empty cell in round 2),
     # driving per-frame block drops to zero; measured cost of the extra
@@ -80,7 +87,7 @@ def _integrate(
         camera.fx, camera.fy, camera.cx, camera.cy,
         voxel_size, truncation, max_weight, interpret=interpret,
     )
-    return vox, table
+    return vox, table, saturated
 
 
 def _frame_body(
@@ -107,14 +114,14 @@ def _frame_body(
     )
     T_w = state.T_w @ se3.inverse_T(res.T_ts)
     d_f = bilateral_filter(depth)
-    vox, table = _integrate(
+    vox, table, saturated = _integrate(
         state.vox, state.table, d_f, gray, rgb, T_w, camera,
         voxel_size, truncation, kmax, stride, max_weight, interpret,
         claim_rounds=2,
     )
     return (
         FusedState(pyr, T_w, res.T_ts, table, vox),
-        FrameOut(T_w, res.rmse, res.num_inliers),
+        FrameOut(T_w, res.rmse, res.num_inliers, saturated),
     )
 
 
@@ -230,7 +237,7 @@ def fused_init_step(
     vox = tp.make_pool(capacity)
     eye = jnp.eye(4, dtype=jnp.float32)
     d_f = bilateral_filter(depth)
-    vox, table = _integrate(
+    vox, table, _sat = _integrate(
         vox, table, d_f, gray, rgb, eye, camera,
         voxel_size, truncation, kmax, stride, max_weight, interpret,
         claim_rounds=12,
@@ -265,6 +272,7 @@ class FusedDenseFusion:
         self._state: FusedState | None = None
         self._poses: list[jax.Array] = []
         self._rmses: list[jax.Array] = []
+        self._sat: list[jax.Array] = []
         self.frame_count = 0
 
     def process_frame(self, gray, depth, rgb=None) -> None:
@@ -299,6 +307,7 @@ class FusedDenseFusion:
         # frame — keep a private copy so finalize() can still read it
         self._poses.append(out.T_w.copy())
         self._rmses.append(out.rmse.copy())
+        self._sat.append(out.keys_saturated.copy())
 
     def process_chunk(self, grays, depths, rgbs=None) -> None:
         """Process a stack of K frames in one device dispatch.
@@ -338,6 +347,7 @@ class FusedDenseFusion:
         for i in range(k):
             self._poses.append(outs.T_w[i].copy())
             self._rmses.append(outs.rmse[i].copy())
+            self._sat.append(outs.keys_saturated[i].copy())
 
     def maybe_grow(self, threshold: float = 0.85) -> bool:
         """Double the pool (and, if needed, the hash table) when occupancy
@@ -404,6 +414,14 @@ class FusedDenseFusion:
     @property
     def overflow(self) -> int:
         return int(self._state.table.overflow) if self._state else 0
+
+    @property
+    def key_saturated_frames(self) -> int:
+        """Frames whose touched-key buffer hit kmax (possible late
+        integration of the sorted-tail blocks). One fetch."""
+        if not self._sat:
+            return 0
+        return int(np.sum(np.asarray(jnp.stack(self._sat))))
 
     def to_volume(self) -> TSDFVolume:
         """Export the device pool as a host-indexed TSDFVolume (for meshing,

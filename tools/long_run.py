@@ -105,6 +105,7 @@ def main():
         "warmup_s": round(warm_s, 1), "steady_s": round(dt, 1),
         "active_blocks": slam.num_active, "capacity": slam.capacity,
         "pool_growths": grew, "block_overflow": slam.overflow,
+        "key_saturated_frames": slam.key_saturated_frames,
         "max_rmse": round(float(np.max(rmses)), 5),
     }
     print("fused:", fused, flush=True)
