@@ -185,6 +185,170 @@ def ba_step(
     return new_poses, new_points, ok
 
 
+def _residuals_jacobians_3d(poses, points, obs: BAObservations, pc_obs):
+    """RGB-D observation model: 3-D point residual in the camera frame.
+
+    r = T_cw p_w - p_obs  with p_obs the depth-backprojected keypoint.
+    J_pose = [I | -[p_cam]_x] (3x6), J_point = R_cw (3x3). Unlike the
+    reference's 2-D reprojection model (BundleAdjustment.cpp:290-331),
+    this uses the depth channel every RGB-D observation carries, which
+    anchors scale and depth directly — no 7th gauge freedom, far better
+    conditioning on short tracks. The 2-D model remains available for
+    reference-parity (`_residuals_jacobians`)."""
+    T = poses[obs.frame]
+    pw = points[obs.point]
+    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], pw) + T[:, :3, 3]
+    r = pc - pc_obs
+    w = obs.valid.astype(jnp.float32)
+    O = r.shape[0]
+    I3 = jnp.broadcast_to(jnp.eye(3), (O, 3, 3))
+    J_pose = jnp.concatenate([I3, -se3.skew(pc)], axis=-1)  # (O, 3, 6)
+    J_point = T[:, :3, :3]  # (O, 3, 3)
+    return r, J_pose, J_point, w
+
+
+def _ba_step_masked(poses, points, obs: BAObservations, solve_frame, lam, fx, fy, cx, cy, pc_obs=None):
+    """One damped LM step over CAPACITY-PADDED arrays, fully on device.
+
+    Same Schur-as-matmul formulation as `ba_step`, but sized by the array
+    capacities rather than the live problem: `obs.valid` masks padding
+    observations, `solve_frame` (F,) masks which pose blocks the reduced
+    camera system actually solves (False rows get an identity row and a
+    zero delta — this is how both the pose-0 gauge fix and capacity
+    padding are expressed). Padding points have zero J columns, so their
+    damped V inverts to a large diagonal that multiplies zeros — no point
+    mask is needed. Used by the device LM loop (`optimize_device`), which
+    systems/fused_ba.py traces into its per-chunk program.
+    (ref: BundleAdjustment.cpp:113-287 — the LM outer loop this replaces.)
+    """
+    F = poses.shape[0]
+    P = points.shape[0]
+    if pc_obs is None:
+        r, J_pose, J_point, w = _residuals_jacobians(poses, points, obs, fx, fy, cx, cy)
+    else:
+        r, J_pose, J_point, w = _residuals_jacobians_3d(poses, points, obs, pc_obs)
+
+    U = jnp.zeros((F, 6, 6)).at[obs.frame].add(
+        jnp.einsum("oki,o,okj->oij", J_pose, w, J_pose)
+    )
+    V = jnp.zeros((P, 3, 3)).at[obs.point].add(
+        jnp.einsum("oki,o,okj->oij", J_point, w, J_point)
+    )
+    W = jnp.einsum("oki,o,okj->oij", J_pose, w, J_point)
+    b_c = jnp.zeros((F, 6)).at[obs.frame].add(jnp.einsum("oki,o,ok->oi", J_pose, w, r))
+    b_p = jnp.zeros((P, 3)).at[obs.point].add(jnp.einsum("oki,o,ok->oi", J_point, w, r))
+
+    def damp(M, eye):
+        d = jnp.einsum("bii->b", M) / eye.shape[0]
+        return M + (lam * jnp.abs(M) + (1e-6 * d[:, None, None] + 1e-9)) * eye
+
+    U = damp(U, jnp.eye(6))
+    V = damp(V, jnp.eye(3))
+    Vinv = jnp.linalg.inv(V)
+
+    Wd = jnp.zeros((F, 6, P, 3)).at[obs.frame, :, obs.point, :].add(W)
+    Y = jnp.einsum("fipk,pkl->fipl", Wd, Vinv)
+    Ym = Y.reshape(F * 6, P * 3)
+    Wm = Wd.reshape(F * 6, P * 3)
+    S = -Ym @ Wm.T
+    fi = jnp.arange(F * 6).reshape(F, 6)
+    S = S.at[fi[:, :, None], fi[:, None, :]].add(U)
+    rhs_c = b_c.reshape(F * 6) - Ym @ b_p.reshape(P * 3)
+
+    act = jnp.repeat(solve_frame.astype(poses.dtype), 6)  # (6F,)
+    A = S * (act[:, None] * act[None, :]) + jnp.diag(1.0 - act)
+    diag = jnp.diagonal(A)
+    jitter = 1e-7 * jnp.sum(diag * act) / jnp.clip(jnp.sum(act), 1.0) + 1e-9
+    A = A + jitter * jnp.eye(F * 6, dtype=A.dtype)
+    rhs = rhs_c * act
+    dc = jnp.linalg.solve(0.5 * (A + A.T), -rhs)
+    ok = jnp.all(jnp.isfinite(dc))
+    dc = jnp.where(ok, dc * act, 0.0)
+    delta_c = dc.reshape(F, 6)
+
+    wtdc = (Wm.T @ dc).reshape(P, 3)
+    dp = -jnp.einsum("pij,pj->pi", Vinv, b_p + wtdc)
+    dp = jnp.where(ok, dp, 0.0)
+
+    new_poses = jnp.einsum("fij,fjk->fik", se3.se3_exp(delta_c), poses)
+    new_points = points + dp
+    return new_poses, new_points, ok
+
+
+def optimize_device(
+    poses, points, obs: BAObservations, solve_frame,
+    fx, fy, cx, cy,
+    max_iters: int = 10,
+    lam0: float = 3e-5,
+    anchor_scale: bool = True,
+    pc_obs=None,
+):
+    """Whole LM loop (step + cost + accept/rollback + damping schedule) as
+    traced device code — zero host round trips, callable from inside a
+    larger jitted program (systems/fused_ba.py runs it per chunk).
+
+    Matches `optimize`'s semantics: lambda x0.7 on cost decrease, x2 +
+    rollback on increase (ref: BundleAdjustment.cpp:248-280), plus the
+    7th-gauge scale re-anchor that pins the pose0->pose1 baseline length
+    (see `optimize`'s docstring). With `pc_obs` (O, 3) the observation
+    model switches to 3-D camera-frame residuals
+    (`_residuals_jacobians_3d`) — scale is then observable and
+    `anchor_scale` should be False. Returns (poses, points, mean sq err).
+    """
+
+    def cost_of(ps, pt):
+        if pc_obs is None:
+            r, _, _, w = _residuals_jacobians(ps, pt, obs, fx, fy, cx, cy)
+        else:
+            r, _, _, w = _residuals_jacobians_3d(ps, pt, obs, pc_obs)
+        return jnp.sum(w * jnp.sum(r * r, -1)), jnp.sum(w)
+
+    def center(T_cw):
+        return -T_cw[:3, :3].T @ T_cw[:3, 3]
+
+    c0 = center(poses[0])
+    baseline0 = jnp.linalg.norm(center(poses[1]) - c0)
+
+    cost0, _ = cost_of(poses, points)
+
+    def body(_, carry):
+        ps, pt, lam, cost = carry
+        np_, npt, ok = _ba_step_masked(
+            ps, pt, obs, solve_frame, lam, fx, fy, cx, cy, pc_obs=pc_obs
+        )
+        new_cost, _ = cost_of(np_, npt)
+        accept = ok & jnp.isfinite(new_cost) & (new_cost < cost)
+
+        def sel(a, b):
+            return jnp.where(accept, a, b)
+
+        ps = jnp.where(accept, np_, ps)
+        pt = jnp.where(accept, npt, pt)
+        lam = sel(jnp.maximum(lam * 0.7, 1e-9), jnp.minimum(lam * 2.0, 1e6))
+        cost = sel(new_cost, cost)
+        return ps, pt, lam, cost
+
+    poses, points, _, cost = jax.lax.fori_loop(
+        0, max_iters, body, (poses, points, jnp.float32(lam0), cost0)
+    )
+
+    if anchor_scale:
+        baseline1 = jnp.linalg.norm(center(poses[1]) - c0)
+        s = jnp.where(
+            (baseline0 > 1e-9) & (baseline1 > 1e-9), baseline0 / baseline1, 1.0
+        )
+        R = poses[:, :3, :3]
+        centers = -jnp.einsum("fji,fj->fi", R, poses[:, :3, 3])
+        new_centers = c0[None] + s * (centers - c0[None])
+        new_t = -jnp.einsum("fij,fj->fi", R, new_centers)
+        poses = poses.at[:, :3, 3].set(new_t)
+        points = c0[None] + s * (points - c0[None])
+        cost, _ = cost_of(poses, points)
+
+    _, wsum = cost_of(poses, points)
+    return poses, points, cost / jnp.clip(wsum, 1.0)
+
+
 def optimize(
     problem: BAProblem,
     fx: float, fy: float, cx: float, cy: float,

@@ -63,13 +63,21 @@ REBASE_AFTER = 3  # consecutive failures before re-bootstrapping a keyframe
 
 
 class EdgeStore(NamedTuple):
-    """Device-resident pose-graph edge arrays (capacity E_CAP)."""
+    """Device-resident pose-graph edge arrays (capacity E_CAP).
+
+    `src_i`/`dst_j` carry the KEYPOINT indices behind each compacted
+    correspondence (source keypoint row, matched target keypoint row) so
+    downstream consumers — the full-BA track linker in systems/fused_ba.py
+    (ref: example/BAFusion/BASlam.cpp:89-150 local->global index maps) —
+    can join edges back to the keyframe DB without refetching matches."""
 
     src: jax.Array  # (E,) int32
     dst: jax.Array  # (E,) int32
     p_src: jax.Array  # (E, C, 3)
     p_dst: jax.Array  # (E, C, 3)
     valid: jax.Array  # (E, C) bool
+    src_i: jax.Array  # (E, C) int32 source keypoint index per corr
+    dst_j: jax.Array  # (E, C) int32 matched target keypoint index
     num: jax.Array  # () int32
     overflow: jax.Array  # () int32
 
@@ -92,6 +100,8 @@ class SparseDevState(NamedTuple):
     prev_psrc: jax.Array  # (C, 3) compacted correspondences of prev
     prev_pdst: jax.Array  # (C, 3)
     prev_pval: jax.Array  # (C,)
+    prev_si: jax.Array  # (C,) int32 source keypoint index per corr
+    prev_dj: jax.Array  # (C,) int32 matched target keypoint index
     fail_streak: jax.Array  # () int32 consecutive tracking failures
 
 
@@ -143,6 +153,8 @@ def make_state(n_cap: int, e_cap: int, corr_cap: int, f: int) -> SparseDevState:
             p_src=jnp.zeros((e_cap, corr_cap, 3), jnp.float32),
             p_dst=jnp.zeros((e_cap, corr_cap, 3), jnp.float32),
             valid=jnp.zeros((e_cap, corr_cap), bool),
+            src_i=jnp.zeros((e_cap, corr_cap), jnp.int32),
+            dst_j=jnp.zeros((e_cap, corr_cap), jnp.int32),
             num=jnp.int32(0),
             overflow=jnp.int32(0),
         ),
@@ -156,6 +168,8 @@ def make_state(n_cap: int, e_cap: int, corr_cap: int, f: int) -> SparseDevState:
         prev_psrc=jnp.zeros((corr_cap, 3), jnp.float32),
         prev_pdst=jnp.zeros((corr_cap, 3), jnp.float32),
         prev_pval=jnp.zeros((corr_cap,), bool),
+        prev_si=jnp.zeros((corr_cap,), jnp.int32),
+        prev_dj=jnp.zeros((corr_cap,), jnp.int32),
         fail_streak=jnp.int32(0),
     )
 
@@ -168,15 +182,23 @@ def _inv(T):
     return out.at[:3, 3].set(-R.T @ t)
 
 
-def _compact_corr(corr_src, corr_dst, corr_valid, c):
-    """First `c` valid correspondences (order-preserving), fixed shape."""
+def _compact_corr(corr_src, corr_dst, corr_valid, corr_idx, c):
+    """First `c` valid correspondences (order-preserving), fixed shape.
+
+    Returns (src_pts, dst_pts, valid, src_kp_idx, dst_kp_idx): the corr
+    arrays are indexed by SOURCE keypoint row, so the compaction index is
+    itself the source keypoint index and `corr_idx` gathers the matched
+    target keypoint."""
     (ci,) = jnp.nonzero(corr_valid, size=c, fill_value=0)
     cnt = jnp.sum(corr_valid.astype(jnp.int32))
     cv = jnp.arange(c) < cnt
-    return corr_src[ci], corr_dst[ci], cv
+    return (
+        corr_src[ci], corr_dst[ci], cv,
+        ci.astype(jnp.int32), corr_idx[ci].astype(jnp.int32),
+    )
 
 
-def _append_edge(edges: EdgeStore, cond, src, dst, ps, pd, pv) -> EdgeStore:
+def _append_edge(edges: EdgeStore, cond, src, dst, ps, pd, pv, si, dj) -> EdgeStore:
     e_cap = edges.src.shape[0]
     fits = cond & (edges.num < e_cap)
     w = jnp.where(fits, edges.num, e_cap)  # e_cap = drop
@@ -186,6 +208,8 @@ def _append_edge(edges: EdgeStore, cond, src, dst, ps, pd, pv) -> EdgeStore:
         p_src=edges.p_src.at[w].set(ps, mode="drop"),
         p_dst=edges.p_dst.at[w].set(pd, mode="drop"),
         valid=edges.valid.at[w].set(pv, mode="drop"),
+        src_i=edges.src_i.at[w].set(si, mode="drop"),
+        dst_j=edges.dst_j.at[w].set(dj, mode="drop"),
         num=edges.num + fits.astype(jnp.int32),
         overflow=edges.overflow + (cond & ~fits).astype(jnp.int32),
     )
@@ -335,6 +359,7 @@ def fused_sparse_chunk(
         edges = _append_edge(
             st.edges, use_a, st.prev_anchor, new_idx_a,
             st.prev_psrc, st.prev_pdst, st.prev_pval,
+            st.prev_si, st.prev_dj,
         )
         num_kf = st.num_kf + use_a.astype(jnp.int32)
         promo_a = jnp.where(use_a, new_idx_a, -1)
@@ -355,7 +380,8 @@ def fused_sparse_chunk(
         csrc = pick(use_a[..., None, None], res_a.corr_src, use_b[..., None, None], res_b.corr_src, res0.corr_src)
         cdst = pick(use_a[..., None, None], res_a.corr_dst, use_b[..., None, None], res_b.corr_dst, res0.corr_dst)
         cval = pick(use_a[..., None], res_a.corr_valid, use_b[..., None], res_b.corr_valid, res0.corr_valid)
-        psrc_c, pdst_c, pval_c = _compact_corr(csrc, cdst, cval, c_corr)
+        cidx = pick(use_a[..., None], res_a.corr_idx, use_b[..., None], res_b.corr_idx, res0.corr_idx)
+        psrc_c, pdst_c, pval_c, si_c, dj_c = _compact_corr(csrc, cdst, cval, cidx, c_corr)
 
         anchor_pose = kf_pose[anchor]
         T_world = jnp.where(ok, anchor_pose @ _inv(T_ts), st.last_T)
@@ -380,7 +406,8 @@ def fused_sparse_chunk(
         new_idx = num_kf
         kf_db, kf_pose = _write_kf(kf_db, kf_pose, is_kf, new_idx, frame_i, T_world)
         edges = _append_edge(
-            edges, is_kf & ~boot & ~rebase, anchor, new_idx, psrc_c, pdst_c, pval_c
+            edges, is_kf & ~boot & ~rebase, anchor, new_idx,
+            psrc_c, pdst_c, pval_c, si_c, dj_c,
         )
         num_kf = num_kf + is_kf.astype(jnp.int32)
         promo_b = jnp.where(is_kf & ~boot, new_idx, -1)
@@ -408,6 +435,8 @@ def fused_sparse_chunk(
             prev_psrc=jnp.where(fv, psrc_c, st.prev_psrc),
             prev_pdst=jnp.where(fv, pdst_c, st.prev_pdst),
             prev_pval=jnp.where(fv, pval_c, st.prev_pval),
+            prev_si=jnp.where(fv, si_c, st.prev_si),
+            prev_dj=jnp.where(fv, dj_c, st.prev_dj),
             fail_streak=jnp.where(
                 fv,
                 jnp.where(ok_out | rebase, 0, st.fail_streak + 1),
@@ -471,8 +500,10 @@ def fused_sparse_chunk(
             kk, kf_c, kf_g, camera, num_hypotheses
         )
         succ = summ_p.success & (summ_p.rmse < MAX_REPROJECTION_ERROR_3D)
-        ps, pd, pv = _compact_corr(res_p.corr_src, res_p.corr_dst, res_p.corr_valid, c_corr)
-        edges = _append_edge(edges, succ, c, g, ps, pd, pv)
+        ps, pd, pv, si, dj = _compact_corr(
+            res_p.corr_src, res_p.corr_dst, res_p.corr_valid, res_p.corr_idx, c_corr
+        )
+        edges = _append_edge(edges, succ, c, g, ps, pd, pv, si, dj)
         return p + 1, edges, key, n_added + succ.astype(jnp.int32)
 
     _, edges, key, lc_added = jax.lax.while_loop(
@@ -586,6 +617,8 @@ class FusedFBASlam:
                     p_src=jnp.pad(e.p_src, ((0, self.edge_capacity), (0, 0), (0, 0))),
                     p_dst=jnp.pad(e.p_dst, ((0, self.edge_capacity), (0, 0), (0, 0))),
                     valid=jnp.pad(e.valid, ((0, self.edge_capacity), (0, 0))),
+                    src_i=jnp.pad(e.src_i, ((0, self.edge_capacity), (0, 0))),
+                    dst_j=jnp.pad(e.dst_j, ((0, self.edge_capacity), (0, 0))),
                     num=e.num, overflow=e.overflow,
                 )
             )
