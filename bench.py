@@ -110,6 +110,22 @@ def main() -> None:
     sparse_ate = traj.ate_rmse(slam_s.trajectory(), poses16)
     sparse_base = float(base.get("sparse_fba_fps_cpu", 1.0))
 
+    # ---- full-BA BAFusion (BASELINE config 4) -----------------------------
+    from onepiece_tpu.systems.fused_ba import FusedBASlam
+
+    warm_b = FusedBASlam(cam)
+    warm_b.process_chunk(grays, depths)
+    dt_b = None
+    for _ in range(4):
+        slam_b = FusedBASlam(cam)
+        t0 = time.perf_counter()
+        slam_b.process_chunk(grays, depths)
+        d = time.perf_counter() - t0
+        dt_b = d if dt_b is None else min(dt_b, d)
+    ba_fps = n_frames / dt_b
+    ba_ate = traj.ate_rmse(slam_b.trajectory(), poses16)
+    ba_base = float(base.get("ba_total_fps_cpu", 1.0))
+
     # ---- 100-frame closed-loop SUSTAINED run (steady-state honesty) -------
     n_long = 100
     chunk = 25
@@ -151,6 +167,22 @@ def main() -> None:
     long_sparse_fps = n_long / dt_sl
     long_sparse_ate = traj.ate_rmse(s_sl.trajectory(), poses_l)
 
+    def run_ba_long():
+        s = FusedBASlam(cam)
+        for i in range(0, n_long, chunk):
+            s.process_chunk(grays_l[i : i + chunk], depths_l[i : i + chunk])
+        return s
+
+    run_ba_long()
+    dt_bl = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s_bl = run_ba_long()
+        d = time.perf_counter() - t0
+        dt_bl = d if dt_bl is None else min(dt_bl, d)
+    long_ba_fps = n_long / dt_bl
+    long_ba_ate = traj.ate_rmse(s_bl.trajectory(), poses_l)
+
     print(
         json.dumps(
             {
@@ -165,11 +197,18 @@ def main() -> None:
                     "resolution": "640x480",
                     "active_blocks": slam.num_active,
                     "block_overflow": slam.overflow,
+                    "key_saturated_frames": slam.key_saturated_frames,
                     "baseline_fps_cpu": base_fps,
                     "sparse_fba_fps_chip": round(sparse_fps, 2),
                     "sparse_fba_vs_baseline": round(sparse_fps / sparse_base, 3),
                     "sparse_fba_ate_rmse_m": round(sparse_ate, 5),
                     "sparse_fba_ate_ref_cpu": base.get("sparse_fba_ate_rmse_m_cpu"),
+                    "ba_fps_chip": round(ba_fps, 2),
+                    "ba_vs_baseline": round(ba_fps / ba_base, 3),
+                    "ba_ate_rmse_m": round(ba_ate, 5),
+                    "ba_ate_ref_cpu": base.get("ba_ate_rmse_m_cpu"),
+                    "ba_world_points": slam_b.n_pts,
+                    "ba_observations": slam_b.n_obs,
                     "longrun_frames": n_long,
                     "longrun_dense_fps": round(long_dense_fps, 2),
                     "longrun_dense_ate_m": round(long_dense_ate, 5),
@@ -177,6 +216,11 @@ def main() -> None:
                     "longrun_sparse_ate_m": round(long_sparse_ate, 5),
                     "longrun_sparse_kf": s_sl.num_kf,
                     "longrun_lc_edges": s_sl.lc_edges_total,
+                    "longrun_ba_fps": round(long_ba_fps, 2),
+                    "longrun_ba_ate_m": round(long_ba_ate, 5),
+                    "longrun_ba_points": s_bl.n_pts,
+                    "longrun_key_saturated_frames": s_l.key_saturated_frames,
+                    "longrun_kmax_growths": len(s_l.kmax_growth),
                 },
             }
         )

@@ -318,7 +318,9 @@ def submap_pipeline_serial(
     base_np = np.asarray(base)
     opt = solve_pose_graph(base_np, edges_st, all_geo)
     frame_poses = np.einsum("sij,sfjk->sfik", opt, np.asarray(jnp.stack([t.rel for t in tracks])))
-    return frame_poses.reshape(s * f, 4, 4), opt, edges_st
+    # base_np is the PRE-optimisation odometry chain (what registration's
+    # ICP inits saw); returned for per-stage replay in tests
+    return frame_poses.reshape(s * f, 4, 4), opt, edges_st, all_geo, base_np
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +396,7 @@ def submap_pipeline_sharded(
     base_np = np.asarray(base)
     opt = solve_pose_graph(base_np, edges, geos)
     frame_poses = np.einsum("sij,sfjk->sfik", opt, np.asarray(tracks.rel))
-    return frame_poses.reshape(s * f, 4, 4), opt, edges
+    return frame_poses.reshape(s * f, 4, 4), opt, edges, geos, base_np
 
 
 def dryrun(mesh: Mesh, camera, axis: str = "d") -> None:
@@ -420,7 +422,7 @@ def dryrun(mesh: Mesh, camera, axis: str = "d") -> None:
         depths.append(np.asarray(d))
     grays = np.stack(grays).reshape(s, f, camera.height, camera.width)
     depths = np.stack(depths).reshape(s, f, camera.height, camera.width)
-    fp, base, edges = submap_pipeline_sharded(
+    fp, base, edges, _geos, _braw = submap_pipeline_sharded(
         grays, depths, camera, mesh, voxel_size=0.08, cloud_capacity=256,
         axis=axis,
     )

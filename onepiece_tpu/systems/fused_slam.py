@@ -260,7 +260,9 @@ class FusedDenseFusion:
     truncation: float = 0.1
     capacity: int = 16384
     table_size: int = 1 << 16
-    kmax: int = 4096
+    kmax: int = 8192  # touched-key buffer; room-scale frustums touch ~4k
+    # blocks, so 8k leaves 2x headroom — and `maybe_grow` doubles it
+    # whenever a frame still saturates (one recompile per bucket, cached)
     stride: int = 8  # touched-key subsample; a 0.1 m block projects to
     # >= 12.9 px at the 4 m max depth, so 8 px cannot skip one
     iters: tuple[int, ...] = dense.DEFAULT_ITERS
@@ -273,6 +275,8 @@ class FusedDenseFusion:
         self._poses: list[jax.Array] = []
         self._rmses: list[jax.Array] = []
         self._sat: list[jax.Array] = []
+        self._sat_checked = 0
+        self.kmax_growth: list[tuple[int, int]] = []  # (frame, new kmax)
         self.frame_count = 0
 
     def process_frame(self, gray, depth, rgb=None) -> None:
@@ -360,9 +364,21 @@ class FusedDenseFusion:
         cells (slots unchanged) or is rebuilt at double size with
         `device_hash.insert_at` once its load factor would pass 1/2.
         Costs one host sync (the occupancy read) + one device copy.
+
+        Also doubles the touched-key buffer (`kmax`, a static of the step
+        executables — one recompile per bucket, persistently cached) when
+        any frame since the last check saturated it, removing the
+        drop-and-retry path entirely on the next chunk (the same policy
+        the pool uses; growth events land in `self.kmax_growth`).
         """
         if self._state is None:
             return False
+        fresh = self._sat[self._sat_checked :]
+        if fresh:
+            self._sat_checked = len(self._sat)
+            if int(np.sum(np.asarray(jnp.stack(fresh)))) > 0:
+                self.kmax *= 2
+                self.kmax_growth.append((self.frame_count, self.kmax))
         na = int(self._state.table.num_active)
         if na <= threshold * self.capacity:
             return False

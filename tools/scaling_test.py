@@ -87,8 +87,8 @@ def main():
     gs = np.stack(gs).reshape(s, f, cam.height, cam.width)
     ds = np.stack(ds).reshape(s, f, cam.height, cam.width)
     mesh_s = Mesh(np.array(all_devices[:s]), ("d",))
-    fp_ser, base_ser, _ = psubmap.submap_pipeline_serial(gs, ds, cam, cloud_capacity=512)
-    fp_sh, base_sh, _ = psubmap.submap_pipeline_sharded(gs, ds, cam, mesh_s, cloud_capacity=512)
+    fp_ser, base_ser, _, _, _ = psubmap.submap_pipeline_serial(gs, ds, cam, cloud_capacity=512)
+    fp_sh, base_sh, _, _, _ = psubmap.submap_pipeline_sharded(gs, ds, cam, mesh_s, cloud_capacity=512)
     err_sm = np.abs(fp_sh - fp_ser).max()
     print(f"submap axis ({s} submaps x {f} frames): sharded vs serial max err {err_sm:.2e}")
     assert err_sm < 1e-2
