@@ -61,7 +61,12 @@ def ransac_rigid(
     """
     thr2 = jnp.square(threshold * norm_z) if norm_z is not None else threshold * threshold
     idx = _sample_indices(key, valid, num_hypotheses, sample_size)
-    Ts = jax.vmap(transforms.kabsch)(src[idx], dst[idx])  # (H, 4, 4)
+    # hypothesis batch: quaternion power-iteration Kabsch (transforms.
+    # kabsch_fast) — the batched 3x3 SVD dominated the track budget on
+    # chip; an occasional slow-converging hypothesis only wastes one of
+    # `num_hypotheses`, and the winning inlier set is refit with the SVD
+    # path below
+    Ts = jax.vmap(transforms.kabsch_fast)(src[idx], dst[idx])  # (H, 4, 4)
     pred = jnp.einsum("hij,nj->hni", Ts[:, :3, :3], src) + Ts[:, None, :3, 3]
     d2 = jnp.sum((pred - dst[None]) ** 2, axis=-1)  # (H, N)
     inl = (d2 < thr2) & valid[None, :]

@@ -107,3 +107,33 @@ def test_estimate_normals_plane():
     nrm, = (np.asarray(cloud.normals)[np.asarray(cloud.valid)],)
     np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-3)
     assert (nrm[:, 2] < 0).all()  # oriented toward viewpoint
+
+
+def test_kabsch_fast_matches_svd():
+    """Quaternion power-iteration Kabsch == SVD Kabsch on well-posed
+    batches (the RANSAC hypothesis path, ops/ransac.py)."""
+    import jax
+    import functools
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(256, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q.T
+    R = np.stack(
+        [
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+            np.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)], -1),
+            np.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+    t = rng.normal(size=(256, 3))
+    src = rng.normal(size=(256, 8, 3)).astype(np.float32)
+    dst = (np.einsum("nij,nsj->nsi", R, src) + t[:, None]).astype(np.float32)
+    T_svd = np.asarray(jax.vmap(transforms.kabsch)(jnp.asarray(src), jnp.asarray(dst)))
+    T_fast = np.asarray(jax.vmap(transforms.kabsch_fast)(jnp.asarray(src), jnp.asarray(dst)))
+    err = np.abs(T_svd - T_fast).max(axis=(1, 2))
+    # median exact; a small tail of near-180-degree rotations converges
+    # slower (harmless inside RANSAC: one wasted hypothesis + SVD refit)
+    assert np.median(err) < 1e-4, np.median(err)
+    assert (err < 1e-2).mean() > 0.95, (err < 1e-2).mean()
