@@ -185,6 +185,12 @@ def ba_step(
     return new_poses, new_points, ok
 
 
+HUBER_DELTA_3D = 0.005  # m; residuals past this are outlier-regime.
+# Swept on-chip on the 100-frame closed loop: 0.02 -> ATE 24.4 mm,
+# 0.01 -> 20.8 mm, 0.005 -> 18.3 mm (and 16-frame ATE 9.8 -> 8.7 mm);
+# clean-track residuals are mm-scale so 5 mm keeps them fully weighted.
+
+
 def _residuals_jacobians_3d(poses, points, obs: BAObservations, pc_obs):
     """RGB-D observation model: 3-D point residual in the camera frame.
 
@@ -194,12 +200,21 @@ def _residuals_jacobians_3d(poses, points, obs: BAObservations, pc_obs):
     this uses the depth channel every RGB-D observation carries, which
     anchors scale and depth directly — no 7th gauge freedom, far better
     conditioning on short tracks. The 2-D model remains available for
-    reference-parity (`_residuals_jacobians`)."""
+    reference-parity (`_residuals_jacobians`).
+
+    A Huber kernel (IRLS weight min(1, delta/||r||)) bounds the influence
+    of stale observations: on long loops, world points born before a
+    loop-closure correction carry the pre-correction drift, and with a
+    pure L2 cost those few-cm residuals drag the whole trajectory
+    (measured: 100-frame loop ATE 0.030 unweighted vs the front end's
+    0.021)."""
     T = poses[obs.frame]
     pw = points[obs.point]
     pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], pw) + T[:, :3, 3]
     r = pc - pc_obs
-    w = obs.valid.astype(jnp.float32)
+    rn = jnp.linalg.norm(r, axis=-1)
+    w_huber = jnp.minimum(1.0, HUBER_DELTA_3D / jnp.clip(rn, 1e-9, None))
+    w = obs.valid.astype(jnp.float32) * w_huber
     O = r.shape[0]
     I3 = jnp.broadcast_to(jnp.eye(3), (O, 3, 3))
     J_pose = jnp.concatenate([I3, -se3.skew(pc)], axis=-1)  # (O, 3, 6)

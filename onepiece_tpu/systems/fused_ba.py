@@ -16,7 +16,7 @@ tunnel that caps throughput far below the front end's. Here the track
 state lives on device next to the sparse state:
 
   - `track_of_kp` (N_CAP, F): per-keyframe global track id per keypoint
-  - `world_pts` (P_CAP, 3) + count
+  - `pt_local`/`pt_anchor` (P_CAP,) — points in birth-keyframe coords
   - observation store (O_CAP,): (frame, point, uv) triples + count
 
 and each chunk runs TWO jitted programs:
@@ -50,10 +50,20 @@ from . import fused_sparse as fs
 
 
 class TrackState(NamedTuple):
-    """Device-resident world-point track + observation store."""
+    """Device-resident world-point track + observation store.
+
+    Points are stored in their BIRTH KEYFRAME's camera frame
+    (`pt_local`, anchored by `pt_anchor`), not world coordinates: when
+    the pose-graph warm start moves keyframes (loop closure), anchored
+    points ride along automatically instead of going stale — the world
+    positions are composed on the fly for each BA solve and decomposed
+    back afterwards. (The reference keeps world coordinates and runs BA
+    once at the end, ref BASlam.h:16 world_points; a per-chunk BA needs
+    the anchored form.)"""
 
     track_of_kp: jax.Array  # (N_CAP, F) int32 global track id, -1 = none
-    world_pts: jax.Array  # (P_CAP, 3) float32
+    pt_local: jax.Array  # (P_CAP, 3) float32 birth-keyframe camera coords
+    pt_anchor: jax.Array  # (P_CAP,) int32 birth keyframe index
     n_pts: jax.Array  # () int32
     obs_frame: jax.Array  # (O_CAP,) int32 keyframe index
     obs_point: jax.Array  # (O_CAP,) int32 world-point index
@@ -68,7 +78,8 @@ class TrackState(NamedTuple):
 def make_track_state(n_cap: int, f: int, p_cap: int, o_cap: int) -> TrackState:
     return TrackState(
         track_of_kp=jnp.full((n_cap, f), -1, jnp.int32),
-        world_pts=jnp.zeros((p_cap, 3), jnp.float32),
+        pt_local=jnp.zeros((p_cap, 3), jnp.float32),
+        pt_anchor=jnp.zeros((p_cap,), jnp.int32),
         n_pts=jnp.int32(0),
         obs_frame=jnp.zeros((o_cap,), jnp.int32),
         obs_point=jnp.zeros((o_cap,), jnp.int32),
@@ -102,7 +113,7 @@ def _link_edge(e, ts: TrackState, edges: fs.EdgeStore, kf_pose, kf_uv):
     Observation semantics match systems/baslam.py `_link_tracks`: a source
     observation is recorded only when the track is born there.
     """
-    p_cap = ts.world_pts.shape[0]
+    p_cap = ts.pt_local.shape[0]
     o_cap = ts.obs_frame.shape[0]
     f = ts.track_of_kp.shape[1]
 
@@ -124,12 +135,13 @@ def _link_edge(e, ts: TrackState, edges: fs.EdgeStore, kf_pose, kf_uv):
     fits_p = new & (nid < p_cap)
     tid = jnp.where(fits_p, nid, tid0)  # new-but-dropped stays -1
 
-    # world position of new points: src keyframe pose applied to the
-    # source camera-frame point (ref BASlam.cpp: world point born at the
-    # source keyframe's current world pose)
-    T = kf_pose[s]
-    pw = edges.p_src[e] @ T[:3, :3].T + T[None, :3, 3]
-    wp = ts.world_pts.at[jnp.where(fits_p, nid, p_cap)].set(pw, mode="drop")
+    # new points are born ANCHORED: stored in the source keyframe's camera
+    # frame (edges.p_src rows are exactly that), with the keyframe index
+    # recorded — world positions are composed at BA time from the current
+    # keyframe pose, so pose-graph corrections never leave points stale
+    wrow = jnp.where(fits_p, nid, p_cap)
+    wp = ts.pt_local.at[wrow].set(edges.p_src[e], mode="drop")
+    pa = ts.pt_anchor.at[wrow].set(s, mode="drop")
     n_new = jnp.sum(fits_p.astype(jnp.int32))
     pt_drop = jnp.sum((new & ~fits_p).astype(jnp.int32))
 
@@ -171,7 +183,8 @@ def _link_edge(e, ts: TrackState, edges: fs.EdgeStore, kf_pose, kf_uv):
 
     return ts._replace(
         track_of_kp=track,
-        world_pts=wp,
+        pt_local=wp,
+        pt_anchor=pa,
         n_pts=ts.n_pts + n_new,
         obs_frame=obs_frame,
         obs_point=obs_point,
@@ -183,12 +196,7 @@ def _link_edge(e, ts: TrackState, edges: fs.EdgeStore, kf_pose, kf_uv):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fx", "fy", "cx", "cy", "ba_iters", "ba_lam0", "residual"),
-    donate_argnums=(0,),
-)
-def link_and_ba(
+def _link_and_ba_body(
     ts: TrackState,
     edges: fs.EdgeStore,
     kf_pose: jax.Array,  # (N_CAP, 4, 4) world-from-keyframe
@@ -234,6 +242,11 @@ def link_and_ba(
 
     run = (num_kf >= 2) & (ts.n_pts >= 8) & (ts.n_obs >= 24)
 
+    # compose world positions from the anchored (birth-keyframe) storage
+    # using the CURRENT (post-warm-start) keyframe poses
+    Ta = kf_pose[ts.pt_anchor]  # (P, 4, 4)
+    world_pts = jnp.einsum("pij,pj->pi", Ta[:, :3, :3], ts.pt_local) + Ta[:, :3, 3]
+
     def do_ba(args):
         T_cw_, pts = args
         return bundle.optimize_device(
@@ -245,16 +258,77 @@ def link_and_ba(
 
     T_cw, world_pts, mse = jax.lax.cond(
         run, do_ba, lambda a: (a[0], a[1], jnp.float32(0.0)),
-        (T_cw, ts.world_pts),
+        (T_cw, world_pts),
     )
-    ts = ts._replace(world_pts=world_pts)
     kf_pose_new = jax.vmap(fs._inv)(T_cw)
+    # decompose back to anchored storage against the BA-refined poses
+    Tna = T_cw[ts.pt_anchor]  # camera-from-world of the birth keyframe
+    pt_local = jnp.einsum("pij,pj->pi", Tna[:, :3, :3], world_pts) + Tna[:, :3, 3]
+    ts = ts._replace(pt_local=pt_local)
 
     out = BAChunkOut(
         kf_pose=kf_pose_new, n_pts=ts.n_pts, n_obs=ts.n_obs,
         pt_overflow=ts.pt_overflow, obs_overflow=ts.obs_overflow, mse=mse,
     )
     return ts, out
+
+
+link_and_ba = functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "ba_iters", "ba_lam0", "residual"),
+    donate_argnums=(0,),
+)(_link_and_ba_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera", "max_keypoints", "threshold", "keyframe_disparity",
+        "num_hypotheses", "gn_iters", "ba_iters", "ba_lam0", "residual",
+    ),
+    donate_argnums=(0, 1),
+)
+def fused_ba_chunk(
+    state: fs.SparseDevState,
+    ts: TrackState,
+    grays: jax.Array,
+    depths: jax.Array,
+    frame_valid: jax.Array,
+    key: jax.Array,
+    camera,
+    max_keypoints: int = 1000,
+    threshold: float = 0.01,
+    keyframe_disparity: float = 30.0,
+    num_hypotheses: int = fs.DEFAULT_HYPOTHESES,
+    gn_iters: int = 5,
+    ba_iters: int = 8,
+    ba_lam0: float = 3e-5,
+    residual: str = "3d",
+):
+    """The ENTIRE BAFusion chunk as one program: sparse front end (track +
+    promote + LC + pose-graph warm start) -> edge linker -> full BA ->
+    re-anchor — one dispatch, one fetch. Through a remote-attached chip
+    each extra blocking dispatch costs tens of ms (the tunnel oscillates
+    between ~0.1 ms and ~60 ms per round trip); fusing the second program
+    into the first halves the per-chunk tunnel cost."""
+    state, out = fs._sparse_chunk_body(
+        state, grays, depths, frame_valid, key, camera,
+        max_keypoints=max_keypoints, threshold=threshold,
+        keyframe_disparity=keyframe_disparity,
+        num_hypotheses=num_hypotheses, gn_iters=gn_iters,
+    )
+    ts, ba_out = _link_and_ba_body(
+        ts, state.edges, state.kf_pose, state.kf.kp.uv, state.num_kf,
+        float(camera.fx), float(camera.fy), float(camera.cx), float(camera.cy),
+        ba_iters=ba_iters, ba_lam0=ba_lam0, residual=residual,
+    )
+    # adopt the BA-refined poses on device (re-anchor the carried pose)
+    state = state._replace(
+        kf_pose=ba_out.kf_pose,
+        last_T=ba_out.kf_pose[state.last_anchor] @ state.last_Trel,
+    )
+    out = out._replace(kf_pose=ba_out.kf_pose)
+    return state, ts, out, ba_out
 
 
 @dataclasses.dataclass
@@ -270,8 +344,11 @@ class FusedBASlam(fs.FusedFBASlam):
     happens) BA solve every N-th chunk; 1 = every chunk.
     """
 
-    pt_capacity: int = 8192
-    obs_capacity: int = 1 << 15
+    # BA cost scales with capacities (the dense W cross-term is (6F, 3P)),
+    # so start small — `_maybe_grow` doubles at half-full between chunks,
+    # one cached recompile per bucket (room-scale runs settle at 2-4k pts)
+    pt_capacity: int = 1024
+    obs_capacity: int = 4096
     ba_iters: int = 8
     ba_lam0: float = 3e-5
     ba_every_chunks: int = 1
@@ -305,7 +382,10 @@ class FusedBASlam(fs.FusedFBASlam):
         # a chunk can add at most 2K keyframe edges x C corrs of points/obs,
         # but in practice far fewer — grow at half-full like the block pool
         while self.n_pts * 2 > self.pt_capacity:
-            t = t._replace(world_pts=jnp.pad(t.world_pts, ((0, self.pt_capacity), (0, 0))))
+            t = t._replace(
+                pt_local=jnp.pad(t.pt_local, ((0, self.pt_capacity), (0, 0))),
+                pt_anchor=jnp.pad(t.pt_anchor, (0, self.pt_capacity)),
+            )
             self.pt_capacity *= 2
         while self.n_obs * 2 > self.obs_capacity:
             t = t._replace(
@@ -318,35 +398,55 @@ class FusedBASlam(fs.FusedFBASlam):
         self._track = t
 
     def process_chunk(self, grays, depths) -> dict:
-        info = super().process_chunk(grays, depths)
+        """K frames through the single fused BAFusion program: ONE dispatch
+        + ONE fetch per chunk (front end + linker + full BA together)."""
+        grays = jnp.asarray(grays, jnp.float32)
+        depths = jnp.asarray(depths, jnp.float32)
+        k = int(grays.shape[0])
+        if k == 0:
+            return {"frames": self.frame_count, "keyframes": self.num_kf}
+        k_pad = max(8, 1 << (k - 1).bit_length())
+        if k_pad != k:
+            pad = ((0, k_pad - k), (0, 0), (0, 0))
+            grays = jnp.pad(grays, pad)
+            depths = jnp.pad(depths, pad)
+        fvalid = jnp.arange(k_pad) < k
+        self._maybe_grow(k_pad)
         self._chunks += 1
-        cam = self.camera
-        self._track, out = link_and_ba(
-            self._track, self._state.edges, self._state.kf_pose,
-            self._state.kf.kp.uv, self._state.num_kf,
-            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31)))
+        self._state, self._track, out, ba_out = fused_ba_chunk(
+            self._state, self._track, grays, depths, fvalid, key, self.camera,
+            max_keypoints=self.max_keypoints, threshold=self.fast_threshold,
+            keyframe_disparity=self.keyframe_disparity,
+            num_hypotheses=self.num_hypotheses,
             ba_iters=(
                 self.ba_iters if self._chunks % self.ba_every_chunks == 0 else 0
             ),
             ba_lam0=self.ba_lam0,
             residual=self.residual,
         )
-        # adopt the BA-refined poses into the sparse state so the next
-        # chunk tracks/links against them, and re-anchor the carried pose
-        self._state = self._state._replace(
-            kf_pose=out.kf_pose,
-            last_T=out.kf_pose[self._state.last_anchor] @ self._state.last_Trel,
-        )
-        h = jax.device_get(out)  # second (tiny) fetch of the chunk
-        self._kf_pose = np.asarray(h.kf_pose)
-        self.n_pts = int(h.n_pts)
-        self.n_obs = int(h.n_obs)
-        self.pt_overflow = int(h.pt_overflow)
-        self.obs_overflow = int(h.obs_overflow)
-        self.ba_mse = float(h.mse)
-        info.update(
-            world_points=self.n_pts, observations=self.n_obs,
-            ba_mse=self.ba_mse, pt_overflow=self.pt_overflow,
-            obs_overflow=self.obs_overflow,
-        )
-        return info
+        h, hb = jax.device_get((out, ba_out))  # the ONE per-chunk fetch
+        self.frame_count += k
+        self.num_kf = int(h.num_kf)
+        self.num_edges = int(h.num_edges)
+        self.edge_overflow = int(h.edge_overflow)
+        self.lc_edges_total += int(h.lc_edges)
+        self._kf_pose = np.asarray(hb.kf_pose)
+        for i in range(k):
+            self._anchors.append(int(h.anchor[i]))
+            self._Trels.append(np.asarray(h.T_rel[i]))
+            self._ok.append(bool(h.ok[i]))
+            self._iskf.append(bool(h.is_kf[i]))
+        self.n_pts = int(hb.n_pts)
+        self.n_obs = int(hb.n_obs)
+        self.pt_overflow = int(hb.pt_overflow)
+        self.obs_overflow = int(hb.obs_overflow)
+        self.ba_mse = float(hb.mse)
+        return {
+            "frames": self.frame_count, "keyframes": self.num_kf,
+            "edges": self.num_edges, "lc_pairs": int(h.lc_pairs),
+            "relocs": int(np.sum(h.reloc)), "retro": int(np.sum(h.retro)),
+            "world_points": self.n_pts, "observations": self.n_obs,
+            "ba_mse": self.ba_mse, "pt_overflow": self.pt_overflow,
+            "obs_overflow": self.obs_overflow,
+        }

@@ -247,15 +247,7 @@ def _zero_track(f: int, c_corr: int):
     return res, summ
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "camera", "max_keypoints", "threshold", "keyframe_disparity",
-        "num_hypotheses", "gn_iters",
-    ),
-    donate_argnums=(0,),
-)
-def fused_sparse_chunk(
+def _sparse_chunk_body(
     state: SparseDevState,
     grays: jax.Array,  # (K, H, W)
     depths: jax.Array,  # (K, H, W)
@@ -268,6 +260,10 @@ def fused_sparse_chunk(
     num_hypotheses: int = DEFAULT_HYPOTHESES,
     gn_iters: int = posegraph.DEFAULT_ITERS,
 ) -> tuple[SparseDevState, SparseChunkOut]:
+    """Traceable chunk body — jitted standalone below, and inlined into
+    larger per-chunk programs (systems/fused_ba.py fuses the track linker
+    + full BA into the SAME dispatch to halve per-chunk tunnel round
+    trips)."""
     k = grays.shape[0]
     f = state.kf.points.shape[1]
     c_corr = state.edges.p_src.shape[1]
@@ -540,6 +536,16 @@ def fused_sparse_chunk(
         edge_overflow=st.edges.overflow, lc_pairs=n_pairs, lc_edges=lc_added,
     )
     return st, out
+
+
+fused_sparse_chunk = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera", "max_keypoints", "threshold", "keyframe_disparity",
+        "num_hypotheses", "gn_iters",
+    ),
+    donate_argnums=(0,),
+)(_sparse_chunk_body)
 
 
 def _grow_axis0(tree, pad_rows: int):

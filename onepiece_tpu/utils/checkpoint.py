@@ -176,13 +176,110 @@ def load_sparse(path: str, camera):
     return slam
 
 
+# -- FusedBASlam --------------------------------------------------------------
+
+
+def save_ba(slam, path: str) -> None:
+    """Checkpoint a FusedBASlam: the sparse state + the track store."""
+    meta = {
+        "system": "fused_ba",
+        "frame_count": slam.frame_count,
+        "num_kf": slam.num_kf,
+        "num_edges": slam.num_edges,
+        "edge_overflow": slam.edge_overflow,
+        "lc_edges_total": slam.lc_edges_total,
+        "kf_capacity": slam.kf_capacity,
+        "edge_capacity": slam.edge_capacity,
+        "corr_capacity": slam.corr_capacity,
+        "max_keypoints": slam.max_keypoints,
+        "fast_threshold": slam.fast_threshold,
+        "keyframe_disparity": slam.keyframe_disparity,
+        "num_hypotheses": slam.num_hypotheses,
+        "pt_capacity": slam.pt_capacity,
+        "obs_capacity": slam.obs_capacity,
+        "ba_iters": slam.ba_iters,
+        "ba_lam0": slam.ba_lam0,
+        "ba_every_chunks": slam.ba_every_chunks,
+        "residual": slam.residual,
+        "n_pts": slam.n_pts,
+        "n_obs": slam.n_obs,
+        "pt_overflow": slam.pt_overflow,
+        "obs_overflow": slam.obs_overflow,
+        "chunks": slam._chunks,
+        "anchors": slam._anchors,
+        "ok": slam._ok,
+        "iskf": slam._iskf,
+        "rng_state": slam._rng.bit_generator.state,
+    }
+    arrs = _flatten_state((slam._state, slam._track))
+    arrs["host_trels"] = np.stack(slam._Trels) if slam._Trels else np.zeros((0, 4, 4), np.float32)
+    arrs["host_kf_pose"] = slam._kf_pose
+    np.savez_compressed(path, meta=json.dumps(meta), **arrs)
+
+
+def load_ba(path: str, camera):
+    from ..systems.fused_ba import FusedBASlam, make_track_state
+    from ..systems.fused_sparse import make_state
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    assert meta["system"] == "fused_ba", meta
+    slam = FusedBASlam(
+        camera,
+        max_keypoints=meta["max_keypoints"],
+        fast_threshold=meta["fast_threshold"],
+        keyframe_disparity=meta["keyframe_disparity"],
+        num_hypotheses=meta["num_hypotheses"],
+        kf_capacity=meta["kf_capacity"],
+        edge_capacity=meta["edge_capacity"],
+        corr_capacity=meta["corr_capacity"],
+        pt_capacity=meta["pt_capacity"],
+        obs_capacity=meta["obs_capacity"],
+        ba_iters=meta["ba_iters"],
+        ba_lam0=meta["ba_lam0"],
+        ba_every_chunks=meta["ba_every_chunks"],
+        residual=meta["residual"],
+    )
+    template = (
+        make_state(
+            meta["kf_capacity"], meta["edge_capacity"], meta["corr_capacity"],
+            meta["max_keypoints"],
+        ),
+        make_track_state(
+            meta["kf_capacity"], meta["max_keypoints"],
+            meta["pt_capacity"], meta["obs_capacity"],
+        ),
+    )
+    slam._state, slam._track = _unflatten_state(template, z)
+    slam.frame_count = meta["frame_count"]
+    slam.num_kf = meta["num_kf"]
+    slam.num_edges = meta["num_edges"]
+    slam.edge_overflow = meta["edge_overflow"]
+    slam.lc_edges_total = meta["lc_edges_total"]
+    slam.n_pts = meta["n_pts"]
+    slam.n_obs = meta["n_obs"]
+    slam.pt_overflow = meta["pt_overflow"]
+    slam.obs_overflow = meta["obs_overflow"]
+    slam._chunks = meta["chunks"]
+    slam._anchors = list(meta["anchors"])
+    slam._ok = list(meta["ok"])
+    slam._iskf = list(meta["iskf"])
+    slam._Trels = [t for t in z["host_trels"]]
+    slam._kf_pose = z["host_kf_pose"]
+    slam._rng.bit_generator.state = meta["rng_state"]
+    return slam
+
+
 def save(slam, path: str) -> None:
     """Dispatch on system type."""
+    from ..systems.fused_ba import FusedBASlam
     from ..systems.fused_slam import FusedDenseFusion
     from ..systems.fused_sparse import FusedFBASlam
 
     if isinstance(slam, FusedDenseFusion):
         save_dense(slam, path)
+    elif isinstance(slam, FusedBASlam):  # before FusedFBASlam: subclass
+        save_ba(slam, path)
     elif isinstance(slam, FusedFBASlam):
         save_sparse(slam, path)
     else:
@@ -196,4 +293,6 @@ def load(path: str, camera):
         return load_dense(path, camera)
     if meta["system"] == "fused_sparse":
         return load_sparse(path, camera)
+    if meta["system"] == "fused_ba":
+        return load_ba(path, camera)
     raise ValueError(f"unknown checkpoint system {meta['system']}")

@@ -109,3 +109,32 @@ def test_sparse_checkpoint_after_capacity_growth(seq, tmp_path):
     assert b.kf_capacity == a.kf_capacity
     b.process_chunk(grays[6:], depths[6:])
     np.testing.assert_allclose(b.trajectory(), ref.trajectory(), atol=1e-6)
+
+
+def test_ba_checkpoint_resume(seq, tmp_path):
+    """FusedBASlam checkpoint restores the full (sparse + track) state:
+    resumed run == uninterrupted run bit-identically."""
+    from onepiece_tpu.systems.fused_ba import FusedBASlam
+
+    grays, depths, _ = seq
+    kw = dict(max_keypoints=500, keyframe_disparity=10.0,
+              pt_capacity=1024, obs_capacity=2048, ba_iters=4)
+
+    ref = FusedBASlam(CAM, **kw)
+    ref.process_chunk(grays[:6], depths[:6])
+    ref.process_chunk(grays[6:], depths[6:])
+    ref_traj = ref.trajectory()
+
+    a = FusedBASlam(CAM, **kw)
+    a.process_chunk(grays[:6], depths[:6])
+    path = str(tmp_path / "ba.npz")
+    checkpoint.save(a, path)
+    b = checkpoint.load(path, CAM)
+    assert b.frame_count == 6
+    assert b.num_kf == a.num_kf
+    assert b.n_pts == a.n_pts
+    b.process_chunk(grays[6:], depths[6:])
+
+    np.testing.assert_allclose(b.trajectory(), ref_traj, atol=1e-6)
+    assert b.n_pts == ref.n_pts
+    assert b.n_obs == ref.n_obs
