@@ -176,8 +176,16 @@ def write_synthetic_tum(
     num_frames: int = 30,
     camera=None,
     num_steps: int = 64,
+    corrupt: bool = False,
+    corrupt_seed: int = 1000,
+    textureless: tuple[int, int] | None = None,
 ) -> np.ndarray:
-    """Render a synthetic sequence into TUM on-disk format; returns GT poses."""
+    """Render a synthetic sequence into TUM on-disk format; returns GT poses.
+
+    `corrupt` applies the sensor model (utils/synthetic.corrupt_rgbd:
+    Kinect-style depth noise + dropout holes + gray noise) with per-frame
+    seeds, matching bench.py's in-memory corruption bit-for-bit after the
+    PNG round trip."""
     import cv2
     import jax.numpy as jnp
 
@@ -196,6 +204,10 @@ def write_synthetic_tum(
             scene, jnp.asarray(poses[i]), camera.fx, camera.fy, camera.cx,
             camera.cy, camera.height, camera.width, num_steps=num_steps,
         )
+        if corrupt:
+            rng = np.random.default_rng(corrupt_seed + i)
+            c = 0.06 if textureless and textureless[0] <= i < textureless[1] else 1.0
+            g, d = synthetic.corrupt_rgbd(rng, np.asarray(g), np.asarray(d), contrast=c)
         ts = i / 30.0
         g8 = np.clip(np.asarray(g) * 255, 0, 255).astype(np.uint8)
         rgb_img = np.stack([g8, g8, g8], -1)

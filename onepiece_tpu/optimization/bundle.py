@@ -185,36 +185,43 @@ def ba_step(
     return new_poses, new_points, ok
 
 
-HUBER_DELTA_3D = 0.005  # m; residuals past this are outlier-regime.
-# Swept on-chip on the 100-frame closed loop: 0.02 -> ATE 24.4 mm,
-# 0.01 -> 20.8 mm, 0.005 -> 18.3 mm (and 16-frame ATE 9.8 -> 8.7 mm);
-# clean-track residuals are mm-scale so 5 mm keeps them fully weighted.
+# Depth-noise model for observation weighting: sigma(z) = A + B (z-0.4)^2
+# (Khoshelham & Elberink 2012's Kinect axial fit — the same model
+# utils/synthetic.corrupt_rgbd injects). The 3-D residual is weighted
+# 1/sigma(z)^2 (heteroscedastic MLE: a far observation's 14 mm noise must
+# not outvote a near one's 1.5 mm) and the Huber kernel operates in
+# sigma-normalised units. Alternatives MEASURED and rejected on the
+# clean/corrupted 16-frame + 100-frame suites: fixed-delta Huber (noise-
+# blind, collapses under real sigma(z)), camera-frame anisotropic
+# lateral/axial weights, and a hybrid [pixel, pixel, depth] residual —
+# both of the latter over-trust lateral/pixel rows whose true error is
+# dominated by integer-pixel FAST keypoints and matching jitter, not the
+# depth model (clean-loop ATE 27-32 mm vs 18 mm for this form).
+SIGMA_Z_A = 0.0015  # m — floor: quantisation + residual calibration
+SIGMA_Z_B = 0.0019  # m^-1
+HUBER_DELTA_SIGMA = 3.0  # residuals past 3 sigma are outlier-regime
 
 
-def _residuals_jacobians_3d(poses, points, obs: BAObservations, pc_obs):
+def _residuals_jacobians_3d(poses, points, obs: BAObservations, pc_obs, fx, fy, cx, cy):
     """RGB-D observation model: 3-D point residual in the camera frame.
 
-    r = T_cw p_w - p_obs  with p_obs the depth-backprojected keypoint.
-    J_pose = [I | -[p_cam]_x] (3x6), J_point = R_cw (3x3). Unlike the
-    reference's 2-D reprojection model (BundleAdjustment.cpp:290-331),
-    this uses the depth channel every RGB-D observation carries, which
-    anchors scale and depth directly — no 7th gauge freedom, far better
-    conditioning on short tracks. The 2-D model remains available for
-    reference-parity (`_residuals_jacobians`).
-
-    A Huber kernel (IRLS weight min(1, delta/||r||)) bounds the influence
-    of stale observations: on long loops, world points born before a
-    loop-closure correction carry the pre-correction drift, and with a
-    pure L2 cost those few-cm residuals drag the whole trajectory
-    (measured: 100-frame loop ATE 0.030 unweighted vs the front end's
-    0.021)."""
+    r = T_cw p_w - p_obs with p_obs the depth-backprojected keypoint;
+    J_pose = [I | -[p_cam]_x], J_point = R_cw. Unlike the reference's
+    2-D-only model (BundleAdjustment.cpp:290-331) the depth information
+    anchors scale and depth directly — no 7th gauge freedom, well
+    conditioned on short tracks. Weights are per-component (O, 3) for
+    uniformity with the step/cost plumbing (isotropic here; see the
+    constants block for what was tried and rejected)."""
     T = poses[obs.frame]
     pw = points[obs.point]
     pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], pw) + T[:, :3, 3]
     r = pc - pc_obs
-    rn = jnp.linalg.norm(r, axis=-1)
-    w_huber = jnp.minimum(1.0, HUBER_DELTA_3D / jnp.clip(rn, 1e-9, None))
-    w = obs.valid.astype(jnp.float32) * w_huber
+    z_obs = jnp.maximum(pc_obs[:, 2], 0.0)
+    sigma = SIGMA_Z_A + SIGMA_Z_B * jnp.square(jnp.maximum(z_obs - 0.4, 0.0))
+    rn = jnp.linalg.norm(r, axis=-1) / sigma
+    w_huber = jnp.minimum(1.0, HUBER_DELTA_SIGMA / jnp.clip(rn, 1e-9, None))
+    w = (obs.valid.astype(jnp.float32) * w_huber / jnp.square(sigma))[:, None]
+    w = jnp.broadcast_to(w, r.shape)
     O = r.shape[0]
     I3 = jnp.broadcast_to(jnp.eye(3), (O, 3, 3))
     J_pose = jnp.concatenate([I3, -se3.skew(pc)], axis=-1)  # (O, 3, 6)
@@ -241,17 +248,19 @@ def _ba_step_masked(poses, points, obs: BAObservations, solve_frame, lam, fx, fy
     if pc_obs is None:
         r, J_pose, J_point, w = _residuals_jacobians(poses, points, obs, fx, fy, cx, cy)
     else:
-        r, J_pose, J_point, w = _residuals_jacobians_3d(poses, points, obs, pc_obs)
+        r, J_pose, J_point, w = _residuals_jacobians_3d(poses, points, obs, pc_obs, fx, fy, cx, cy)
+    if w.ndim == 1:  # scalar weights (2-D model) -> per-component
+        w = jnp.broadcast_to(w[:, None], r.shape)
 
     U = jnp.zeros((F, 6, 6)).at[obs.frame].add(
-        jnp.einsum("oki,o,okj->oij", J_pose, w, J_pose)
+        jnp.einsum("oki,ok,okj->oij", J_pose, w, J_pose)
     )
     V = jnp.zeros((P, 3, 3)).at[obs.point].add(
-        jnp.einsum("oki,o,okj->oij", J_point, w, J_point)
+        jnp.einsum("oki,ok,okj->oij", J_point, w, J_point)
     )
-    W = jnp.einsum("oki,o,okj->oij", J_pose, w, J_point)
-    b_c = jnp.zeros((F, 6)).at[obs.frame].add(jnp.einsum("oki,o,ok->oi", J_pose, w, r))
-    b_p = jnp.zeros((P, 3)).at[obs.point].add(jnp.einsum("oki,o,ok->oi", J_point, w, r))
+    W = jnp.einsum("oki,ok,okj->oij", J_pose, w, J_point)
+    b_c = jnp.zeros((F, 6)).at[obs.frame].add(jnp.einsum("oki,ok,ok->oi", J_pose, w, r))
+    b_p = jnp.zeros((P, 3)).at[obs.point].add(jnp.einsum("oki,ok,ok->oi", J_point, w, r))
 
     def damp(M, eye):
         d = jnp.einsum("bii->b", M) / eye.shape[0]
@@ -315,8 +324,10 @@ def optimize_device(
         if pc_obs is None:
             r, _, _, w = _residuals_jacobians(ps, pt, obs, fx, fy, cx, cy)
         else:
-            r, _, _, w = _residuals_jacobians_3d(ps, pt, obs, pc_obs)
-        return jnp.sum(w * jnp.sum(r * r, -1)), jnp.sum(w)
+            r, _, _, w = _residuals_jacobians_3d(ps, pt, obs, pc_obs, fx, fy, cx, cy)
+        if w.ndim == 1:
+            w = jnp.broadcast_to(w[:, None], r.shape)
+        return jnp.sum(w * r * r), jnp.sum(w)
 
     def center(T_cw):
         return -T_cw[:3, :3].T @ T_cw[:3, 3]
