@@ -102,13 +102,17 @@ def _fast_response(gray: jax.Array, threshold: float) -> jax.Array:
 
 
 def _nms(score: jax.Array, radius: int = 1) -> jax.Array:
-    """3x3 (or (2r+1)^2) non-max suppression."""
-    m = score
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if dx == 0 and dy == 0:
-                continue
-            m = jnp.maximum(m, jnp.roll(score, (dy, dx), axis=(0, 1)))
+    """(2r+1)^2 non-max suppression, separable: max-filter rows then
+    columns ((2r+1)^2-1 rolls -> 4r rolls; the square window's max
+    factorises exactly)."""
+    mx = score
+    for d in range(1, radius + 1):
+        mx = jnp.maximum(mx, jnp.maximum(
+            jnp.roll(score, d, axis=1), jnp.roll(score, -d, axis=1)))
+    m = mx
+    for d in range(1, radius + 1):
+        m = jnp.maximum(m, jnp.maximum(
+            jnp.roll(mx, d, axis=0), jnp.roll(mx, -d, axis=0)))
     return jnp.where(score >= m, score, 0.0)
 
 
@@ -143,6 +147,17 @@ def _build_brief_selector() -> np.ndarray:
 
 
 _BRIEF_SELECTOR = _build_brief_selector()  # (961, 30*512)
+
+# The orientation moments m10/m01 are two more linear functionals of the
+# same patch — append them as two extra columns so ONE matmul produces
+# every per-keypoint reduction (taps + moments). The matmul runs in
+# bfloat16: patch intensities are 8-bit-quantised images and the selector
+# is one-hot, so tap values are exact in bf16; the moment columns sum ~700
+# terms and keep ~2 decimal digits, far inside the arctan2 bin width
+# (12 deg) the angle is quantised to anyway.
+_BRIEF_SELECTOR_M = np.concatenate(
+    [_BRIEF_SELECTOR, _KX.reshape(-1, 1), _KY.reshape(-1, 1)], axis=1
+)  # (961, 30*512 + 2)
 
 
 def _gather_patches(img: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array:
@@ -197,18 +212,21 @@ def detect_and_describe(
     sx = idx % w
     sy = idx // w
     patches = _gather_patches(blurred, sx, sy)  # (K, 31, 31)
-    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_KX))
-    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_KY))
-    angle = jnp.arctan2(m01, m10)
 
-    # steered BRIEF: all 30 angle bins' taps in one MXU matmul, then a
-    # one-hot bin select — zero data-dependent gathers
-    abin = jnp.round(angle / (2.0 * np.pi / NUM_ANGLE_BINS)).astype(jnp.int32) % NUM_ANGLE_BINS
-    taps_all = jax.lax.dot_general(
-        patches.reshape(-1, _P * _P), jnp.asarray(_BRIEF_SELECTOR),
+    # steered BRIEF + orientation moments: ONE bf16 MXU matmul produces all
+    # 30 angle bins' taps AND m10/m01 (the two trailing selector columns),
+    # then a one-hot bin select — zero data-dependent gathers
+    allred = jax.lax.dot_general(
+        patches.reshape(-1, _P * _P).astype(jnp.bfloat16),
+        jnp.asarray(_BRIEF_SELECTOR_M, jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(-1, NUM_ANGLE_BINS, BRIEF_BITS * 2)
+    )
+    m10 = allred[:, -2]
+    m01 = allred[:, -1]
+    angle = jnp.arctan2(m01, m10)
+    abin = jnp.round(angle / (2.0 * np.pi / NUM_ANGLE_BINS)).astype(jnp.int32) % NUM_ANGLE_BINS
+    taps_all = allred[:, :-2].reshape(-1, NUM_ANGLE_BINS, BRIEF_BITS * 2)
     onehot = (abin[:, None] == jnp.arange(NUM_ANGLE_BINS)[None]).astype(jnp.float32)
     samples = jnp.einsum("kbs,kb->ks", taps_all, onehot).reshape(-1, BRIEF_BITS, 2)
     bits = samples[..., 0] < samples[..., 1]  # (K, 256)

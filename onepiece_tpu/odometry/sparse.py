@@ -75,13 +75,16 @@ def extract_sparse_frame(
     return SparseFrame(kp, pts, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("camera", "num_hypotheses"))
+@functools.partial(
+    jax.jit, static_argnames=("camera", "num_hypotheses", "rematch_below")
+)
 def _match_and_estimate(
     key: jax.Array,
     source: SparseFrame,
     target: SparseFrame,
     camera: PinholeCamera,
     num_hypotheses: int = RANSAC_HYPOTHESES,
+    rematch_below: int | None = None,
 ) -> SparseTrackingResult:
     # round 1: descriptor match + ratio test
     idx, ok = hamming.match_descriptors(
@@ -104,22 +107,40 @@ def _match_and_estimate(
         norm_z=src_pts[:, 2],
     )
 
-    # round 2: pose-guided re-match (ref: SparseMatcher.cpp:25-50)
-    pred = src_pts @ res1.T[:3, :3].T + res1.T[:3, 3]
-    uv_pred, _ = camera.project(pred)
-    idx2, ok2 = hamming.match_descriptors_windowed(
-        source.kp.desc, source.valid, target.kp.desc, target.valid,
-        uv_pred, target.kp.uv,
-    )
-    dst2 = target.points[idx2]
-    ok2 = ok2 & target.valid[idx2]
-    res2 = ransac.ransac_rigid(
-        keys[-1], src_pts, dst2, ok2,
-        threshold=RANSAC_THRESHOLD,
-        num_hypotheses=num_hypotheses,
-        sample_size=RANSAC_SAMPLES,
-        norm_z=src_pts[:, 2],
-    )
+    # round 2: pose-guided re-match (ref: SparseMatcher.cpp:25-50). The
+    # reference re-matches unconditionally; `rematch_below` gates it behind
+    # a lax.cond so a confidently-tracked frame (adjacent frames in the
+    # odometry scan routinely clear 100+ inliers) skips the second
+    # match+RANSAC chain entirely — the cond's untaken branch costs nothing
+    # at runtime. LC pair tracking passes None (always re-match: wide
+    # baselines are exactly where pose-guided matching earns its keep).
+    def round2(key2):
+        pred = src_pts @ res1.T[:3, :3].T + res1.T[:3, 3]
+        uv_pred, _ = camera.project(pred)
+        idx2, ok2 = hamming.match_descriptors_windowed(
+            source.kp.desc, source.valid, target.kp.desc, target.valid,
+            uv_pred, target.kp.uv,
+        )
+        dst2 = target.points[idx2]
+        ok2 = ok2 & target.valid[idx2]
+        res2 = ransac.ransac_rigid(
+            key2, src_pts, dst2, ok2,
+            threshold=RANSAC_THRESHOLD,
+            num_hypotheses=num_hypotheses,
+            sample_size=RANSAC_SAMPLES,
+            norm_z=src_pts[:, 2],
+        )
+        return res2, dst2, idx2
+
+    def skip2(key2):
+        return res1, dst_pts, idx
+
+    if rematch_below is None:
+        res2, dst2, idx2 = round2(keys[-1])
+    else:
+        res2, dst2, idx2 = jax.lax.cond(
+            res1.num_inliers < rematch_below, round2, skip2, keys[-1]
+        )
 
     use2 = res2.num_inliers >= res1.num_inliers
     T = jnp.where(use2, res2.T, res1.T)
@@ -284,9 +305,12 @@ def se3_inverse(T: jax.Array) -> jax.Array:
     return out.at[:3, 3].set(-R.T @ t)
 
 
-def _track_summary_inner(key, source, target, camera, num_hypotheses=RANSAC_HYPOTHESES):
+def _track_summary_inner(key, source, target, camera,
+                         num_hypotheses=RANSAC_HYPOTHESES,
+                         rematch_below=None):
     """Unjitted body shared by `_track_summary` and the chunk scan."""
-    res = _match_and_estimate(key, source, target, camera, num_hypotheses)
+    res = _match_and_estimate(key, source, target, camera, num_hypotheses,
+                              rematch_below)
     uv_src = source.kp.uv
     uv_dst, _ = camera.project(res.corr_dst)
     d = jnp.linalg.norm(uv_dst - uv_src, axis=-1)

@@ -60,6 +60,11 @@ DEFAULT_HYPOTHESES = 256  # batched RANSAC; ref runs 400 iters WITH early
 # exit (SparseOdometryFunction.cpp:37-39) — 256 simultaneous hypotheses
 # match its effective sampling power at half the batched cost
 REBASE_AFTER = 3  # consecutive failures before re-bootstrapping a keyframe
+REMATCH_BELOW = 80  # odometry tracks skip the pose-guided re-match round
+# when round 1 already has this many inliers (the reference re-matches
+# unconditionally, SparseMatcher.cpp:25-50; at 80+ inliers the pose is
+# already over-determined 26x and the second match+RANSAC chain buys
+# nothing — LC pair tracking still always re-matches)
 
 
 class EdgeStore(NamedTuple):
@@ -298,7 +303,8 @@ def _sparse_chunk_body(
         res0, summ0 = jax.lax.cond(
             fv & ~boot,
             lambda _: sparse._track_summary_inner(
-                k1, kf_frame, frame_i, camera, num_hypotheses
+                k1, kf_frame, frame_i, camera, num_hypotheses,
+                rematch_below=REMATCH_BELOW,
             ),
             lambda _: _zero_track(f, c_corr),
             None,
@@ -310,7 +316,8 @@ def _sparse_chunk_body(
         res_a, summ_a = jax.lax.cond(
             need_a,
             lambda _: sparse._track_summary_inner(
-                k2, st.prev, frame_i, camera, num_hypotheses
+                k2, st.prev, frame_i, camera, num_hypotheses,
+                rematch_below=REMATCH_BELOW,
             ),
             lambda _: _zero_track(f, c_corr),
             None,
