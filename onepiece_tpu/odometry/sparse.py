@@ -327,18 +327,26 @@ def extract_sparse_frames_batch(
     max_keypoints: int = 1000,
     threshold: float = 0.05,
 ) -> SparseFrame:
-    """Batched `extract_sparse_frame` over a chunk: one dispatch.
+    """Batched `extract_sparse_frame` over a chunk: one dispatch of
+    chunk-wide ops.
 
-    Uses `lax.map` (sequential per-frame, the single-frame compiled code)
-    rather than vmap: vmapping the detector's top-k + patch-gather pattern
-    lowers ~20x slower on TPU (68 ms/frame vs 3 ms measured at 640x480).
+    Built on `features.detect_and_describe_batch`: every detector stage is
+    one B-fold-larger op (the sequential lax.map path paid ~60 small-kernel
+    launches per frame), and all keypoint lookups are single flat gathers
+    with global frame*H*W indices — NOT vmapped gathers, which lower ~20x
+    slower on TPU (68 ms/frame vs 3 ms measured at 640x480).
     """
-    return jax.lax.map(
-        lambda gd: extract_sparse_frame(
-            gd[0], gd[1], camera, max_keypoints=max_keypoints, threshold=threshold
-        ),
-        jnp.stack([grays, depths], axis=1),
+    b, h, w = grays.shape
+    kp = feat.detect_and_describe_batch(
+        grays, max_keypoints=max_keypoints, threshold=threshold
     )
+    ui = jnp.clip(jnp.round(kp.uv[..., 0]), 0, w - 1).astype(jnp.int32)
+    vi = jnp.clip(jnp.round(kp.uv[..., 1]), 0, h - 1).astype(jnp.int32)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None]
+    z = depths.reshape(-1)[(base + vi * w + ui).reshape(-1)].reshape(b, -1)
+    pts = camera.backproject(kp.uv, z)
+    valid = kp.valid & (z > 0)
+    return SparseFrame(kp, pts, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("camera",))

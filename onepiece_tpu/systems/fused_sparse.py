@@ -276,19 +276,20 @@ def _sparse_chunk_body(
     thr = jnp.float32(keyframe_disparity)
     eye = jnp.eye(4, dtype=jnp.float32)
 
-    # ---- 1. feature extraction (skip padding frames) ----------------------
-    def extract_one(x):
-        g, d, fv = x
-        return jax.lax.cond(
-            fv,
-            lambda _: sparse.extract_sparse_frame(
-                g, d, camera, max_keypoints=max_keypoints, threshold=threshold
-            ),
-            lambda _: _zero_frame(f),
-            None,
-        )
-
-    frames = jax.lax.map(extract_one, (grays, depths, frame_valid))
+    # ---- 1. feature extraction: whole chunk in ONE batched program --------
+    # (chunk-wide ops + flat global-index gathers; padding frames compute
+    # garbage alongside the real ones and are masked out below — cheaper
+    # than the per-frame cond'd lax.map it replaces, whose ~60 small-kernel
+    # launches per frame dominated the sparse budget)
+    frames = sparse.extract_sparse_frames_batch(
+        grays, depths, camera, max_keypoints=max_keypoints, threshold=threshold
+    )
+    fvcol = frame_valid[:, None]
+    frames = sparse.SparseFrame(
+        kp=frames.kp._replace(valid=frames.kp.valid & fvcol),
+        points=frames.points,
+        valid=frames.valid & fvcol,
+    )
 
     # ---- 2. tracking scan with promotion + failure ladder -----------------
     def body(carry, xs):
